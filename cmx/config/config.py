@@ -1,0 +1,135 @@
+"""The single config system (replaces the reference's five).
+
+Reference config surfaces unified here (SURVEY §5 "Config / flag system"):
+argparse grids (Finetuning/train.py:229-238), class-attr config
+(Transformation_based/config.py:5-56), Tap typed args
+(Spark/utils/arg_util.py:16-93), Lightning add_model_specific_args
+(moco2_module.py:351-395), mmengine python Config + --cfg-options dotted
+overrides (training/train.py:27-35).
+
+Design: nested frozen-ish dataclasses + `apply_overrides(cfg, ["a.b=1"])`
+dotted-path CLI overrides (the mmengine --cfg-options ergonomics) + asdict
+round-trip for logging/checkpoint metadata.
+"""
+
+from __future__ import annotations
+
+import ast
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, List, Optional, Sequence, Tuple
+
+
+@dataclass
+class DataConfig:
+    data_dir: str = "dataset"
+    image_size: int = 256
+    ratio: float = 0.1  # fine-tune fraction of full corpus (train.py --ratio)
+    synthetic: bool = False  # use generated corpus when no dataset present
+    synthetic_n: int = 64
+    num_prefetch: int = 2
+
+
+@dataclass
+class ModelConfig:
+    out_classes: int = 2
+    up_sample_mode: str = "conv_transpose"
+    dtype: str = "bfloat16"  # compute dtype; params always fp32
+
+
+@dataclass
+class OptimConfig:
+    name: str = "adamw"  # sgd | adamw | lamb | lars
+    lr: float = 1.5e-4
+    base_lr_scaled: bool = False  # lr = lr * global_batch / 256
+    weight_decay: float = 0.05
+    wd_end: Optional[float] = None  # cosine wd annealing target (SparK .04->.2)
+    momentum: float = 0.9
+    clip_norm: Optional[float] = 5.0
+    warmup_epochs: int = 0
+
+
+@dataclass
+class TrainConfig:
+    epochs: int = 128
+    batch_size: int = 32  # GLOBAL batch
+    seed: int = 42
+    log_every: int = 50
+    ckpt_dir: str = "checkpoints"
+    save_every_epoch: bool = False
+    resume: bool = True
+
+
+@dataclass
+class TaskConfig:
+    name: str = "supervised"  # supervised|genesis|mae|moco|spark|cmunet
+    mask_ratio: float = 0.6
+    patch_size: int = 16
+    temperature: float = 0.07
+    ema_momentum: float = 0.996
+    num_negatives: int = 65536
+    view_size: int = 224
+    full_unet: bool = True
+    augment: bool = True
+
+
+@dataclass
+class Config:
+    data: DataConfig = field(default_factory=DataConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    train: TrainConfig = field(default_factory=TrainConfig)
+    task: TaskConfig = field(default_factory=TaskConfig)
+
+
+def _parse_value(s: str) -> Any:
+    try:
+        return ast.literal_eval(s)
+    except (ValueError, SyntaxError):
+        lowered = s.lower()
+        if lowered in ("true", "false"):
+            return lowered == "true"
+        if lowered in ("none", "null"):
+            return None
+        return s
+
+
+def apply_overrides(cfg: Any, overrides: Sequence[str]) -> Any:
+    """Apply 'a.b.c=value' overrides in place; returns cfg.
+
+    Unknown keys raise — same strictness as mmengine's merge.
+    """
+    for ov in overrides:
+        if "=" not in ov:
+            raise ValueError(f"override {ov!r} must be key=value")
+        path, _, raw = ov.partition("=")
+        keys = path.strip().split(".")
+        obj = cfg
+        for k in keys[:-1]:
+            if not hasattr(obj, k):
+                raise KeyError(f"unknown config path {path!r} (at {k!r})")
+            obj = getattr(obj, k)
+        leaf = keys[-1]
+        if not hasattr(obj, leaf):
+            raise KeyError(f"unknown config path {path!r} (at {leaf!r})")
+        setattr(obj, leaf, _parse_value(raw.strip()))
+    return cfg
+
+
+def to_dict(cfg: Any) -> dict:
+    return dataclasses.asdict(cfg)
+
+
+def display(cfg: Any) -> str:
+    """Pretty multi-line dump (the reference config.display(),
+    Transformation_based/config.py:50-56)."""
+    lines = []
+    for f in dataclasses.fields(cfg):
+        v = getattr(cfg, f.name)
+        if dataclasses.is_dataclass(v):
+            lines.append(f"[{f.name}]")
+            for g in dataclasses.fields(v):
+                lines.append(f"  {g.name} = {getattr(v, g.name)!r}")
+        else:
+            lines.append(f"{f.name} = {v!r}")
+    return "\n".join(lines)

@@ -1,0 +1,227 @@
+"""UNet building blocks, TPU-first.
+
+Functional (flax.linen) re-design of the reference blocks
+(/root/reference/Finetuning/model.py:4-81): DoubleConv = Conv3x3-BN-ReLU x2,
+DownBlock = DoubleConv -> maxpool2, UpBlock = (convT 2x2 s2 | bilinear x2) ->
+skip-concat -> DoubleConv.
+
+TPU-first choices (not a translation of the torch code):
+  * NHWC layout — TPU conv kernels want channels-last so the channel dim maps
+    onto the 128-lane axis of the MXU/VPU.
+  * bf16 compute / fp32 params & BN stats — MXU native precision, fp32
+    accumulation via `preferred_element_type` inside XLA's conv.
+  * BatchNorm batch statistics are computed with plain jnp reductions over the
+    (possibly sharded) batch axis; under pjit a batch-sharded input makes these
+    reductions global, which *is* SyncBatchNorm (reference needs an explicit
+    SyncBN wrapper + NCCL, cf. /root/reference/Pretraining/Spark/encoder.py:55).
+  * Optional SparK-style activation mask: sparsity on TPU is expressed as a
+    mask-multiply after each dense op (the reference does exactly this on GPU,
+    Spark/encoder.py:20-23) and masked-moment BatchNorm instead of
+    gather->BN1d->scatter (numerically identical, XLA-fusable).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+def masked_batch_norm(
+    x: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    *,
+    use_running_average: bool,
+    momentum: float = 0.9,
+    epsilon: float = 1e-5,
+    norm: nn.BatchNorm,
+) -> jnp.ndarray:
+    """Placeholder for API symmetry; see MaskedBatchNorm module below."""
+    raise NotImplementedError
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm over *active* positions only.
+
+    Reference semantics: SparK gathers active pixels, runs BN1d, scatters back
+    (/root/reference/Pretraining/Spark/encoder.py:26-36). On TPU gather/scatter
+    is hostile; the numerically identical formulation is mask-weighted moments:
+      mean = sum(x * m) / sum(m);   var = sum((x - mean)^2 * m) / sum(m)
+    computed per-channel, then normalize everywhere and re-mask downstream.
+
+    With `mask=None` this is exactly vanilla BatchNorm (used by the dense
+    model). Running stats are stored in the `batch_stats` collection; under a
+    batch-sharded pjit the reductions are global => SyncBN for free.
+    """
+
+    use_running_average: bool = False
+    momentum: float = 0.9
+    epsilon: float = 1e-5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
+
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((c,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
+        )
+
+        if self.use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            red = tuple(range(x.ndim - 1))  # (B, H, W)
+            if mask is None:
+                mean = jnp.mean(xf, axis=red)
+                var = jnp.mean(jnp.square(xf), axis=red) - jnp.square(mean)
+            else:
+                m = mask.astype(jnp.float32)
+                if m.ndim == x.ndim - 1:
+                    m = m[..., None]
+                denom = jnp.maximum(jnp.sum(m, axis=red), 1.0)
+                mean = jnp.sum(xf * m, axis=red) / denom
+                var = jnp.sum(jnp.square(xf) * m, axis=red) / denom - jnp.square(mean)
+            var = jnp.maximum(var, 0.0)
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
+        y = y * scale + bias
+        return y.astype(self.dtype or x.dtype)
+
+
+class DoubleConv(nn.Module):
+    """Two (Conv3x3 -> BN -> ReLU) stages.
+
+    Mirrors /root/reference/Finetuning/model.py:4-26 behaviorally. When
+    `mask` is given, each conv output is re-masked before BN (SparK sparse-conv
+    semantics, Spark/encoder.py:20-23) and BN uses masked moments.
+    """
+
+    features: int
+    dtype: Dtype = jnp.bfloat16
+    use_running_average: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None):
+        for i in range(2):
+            x = nn.Conv(
+                self.features,
+                (3, 3),
+                padding="SAME",
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name=f"conv{i}",
+            )(x)
+            if mask is not None:
+                x = x * mask.astype(x.dtype)
+            x = MaskedBatchNorm(
+                use_running_average=self.use_running_average,
+                dtype=self.dtype,
+                name=f"bn{i}",
+            )(x, mask)
+            x = nn.relu(x)
+            if mask is not None:
+                x = x * mask.astype(x.dtype)
+        return x
+
+
+def max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
+    """2x2 stride-2 max pool, NHWC."""
+    return nn.max_pool(x, (2, 2), strides=(2, 2))
+
+
+class DownBlock(nn.Module):
+    """DoubleConv then 2x2 maxpool; returns (down, skip).
+
+    Reference: /root/reference/Finetuning/model.py:29-45.
+    """
+
+    features: int
+    dtype: Dtype = jnp.bfloat16
+    use_running_average: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None):
+        skip = DoubleConv(
+            self.features,
+            dtype=self.dtype,
+            use_running_average=self.use_running_average,
+            name="double_conv",
+        )(x, mask)
+        down = max_pool_2x2(skip)
+        return down, skip
+
+
+def bilinear_upsample_2x(x: jnp.ndarray) -> jnp.ndarray:
+    """2x bilinear upsample (align_corners=True to match torch Upsample).
+
+    jax.image.resize has no align_corners; emulate align_corners=True with a
+    gather-free linear interpolation on a corner-aligned grid. For the common
+    power-of-two sizes this matches torch's `Upsample(align_corners=True)`.
+    """
+    b, h, w, c = x.shape
+    nh, nw = 2 * h, 2 * w
+    # Corner-aligned sample positions: new_i * (h-1)/(nh-1)
+    def axis_weights(n_in, n_out):
+        pos = jnp.arange(n_out, dtype=jnp.float32) * (n_in - 1) / max(n_out - 1, 1)
+        lo = jnp.floor(pos).astype(jnp.int32)
+        hi = jnp.minimum(lo + 1, n_in - 1)
+        w_hi = pos - lo.astype(jnp.float32)
+        return lo, hi, w_hi
+
+    li, hi_, wi = axis_weights(h, nh)
+    lj, hj, wj = axis_weights(w, nw)
+    x32 = x.astype(jnp.float32)
+    top = x32[:, li, :, :] * (1 - wi)[None, :, None, None] + x32[:, hi_, :, :] * wi[None, :, None, None]
+    out = top[:, :, lj, :] * (1 - wj)[None, None, :, None] + top[:, :, hj, :] * wj[None, None, :, None]
+    return out.astype(x.dtype)
+
+
+class UpBlock(nn.Module):
+    """Upsample (convT 2x2 s2 or bilinear), concat skip, DoubleConv.
+
+    Reference: /root/reference/Finetuning/model.py:48-81.
+    """
+
+    features: int
+    up_sample_mode: str = "conv_transpose"
+    dtype: Dtype = jnp.bfloat16
+    use_running_average: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, skip: jnp.ndarray):
+        if self.up_sample_mode == "conv_transpose":
+            x = nn.ConvTranspose(
+                self.features,
+                (2, 2),
+                strides=(2, 2),
+                dtype=self.dtype,
+                param_dtype=jnp.float32,
+                name="up",
+            )(x)
+        elif self.up_sample_mode == "bilinear":
+            x = bilinear_upsample_2x(x)
+        else:
+            raise ValueError(
+                "up_sample_mode must be 'conv_transpose' or 'bilinear', got "
+                f"{self.up_sample_mode!r}"
+            )
+        x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
+        return DoubleConv(
+            self.features,
+            dtype=self.dtype,
+            use_running_average=self.use_running_average,
+            name="double_conv",
+        )(x)

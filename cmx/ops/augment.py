@@ -1,0 +1,308 @@
+"""Device-side augmentation graph (jit-compiled, per-sample RNG).
+
+The reference does all augmentation on host CPU inside DataLoader workers
+(albumentations: Finetuning/dataset.py:134-163; torchvision: SparK
+utils/dataset.py:34-45, MoCo moco_data_module.py:119-132; mmcv pipelines:
+CM-UNet cmae/datasets/pipelines/). Here every op is a pure jax function of
+(key, image) with static output shapes, vmapped over the batch — the whole
+augmentation pipeline compiles into the training step, so the input pipeline
+feeds raw cached arrays and never bottlenecks the conv stack.
+
+All ops operate on single images (H, W) float32 unless stated; use
+`jax.vmap` + `jax.random.split` for batches (see `vmap_aug`).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def vmap_aug(fn: Callable, key: jax.Array, batch: jnp.ndarray, *args):
+    """Apply a per-sample aug with independent per-sample keys."""
+    keys = jax.random.split(key, batch.shape[0])
+    return jax.vmap(lambda k, x: fn(k, x, *args))(keys, batch)
+
+
+# ---------------------------------------------------------------- geometry
+
+
+def random_resized_crop(
+    key: jax.Array,
+    img: jnp.ndarray,
+    out_size: int,
+    scale: Tuple[float, float] = (0.2, 1.0),
+    ratio: Tuple[float, float] = (3 / 4, 4 / 3),
+    method: str = "linear",
+) -> jnp.ndarray:
+    """torchvision-style RandomResizedCrop as one fused scale_and_translate.
+
+    Chooses target area/aspect like torchvision (uniform area in `scale`,
+    log-uniform aspect in `ratio`), then resamples the crop window straight to
+    (out_size, out_size) with jax.image.scale_and_translate — crop + resize is
+    a single XLA gather/convolution, no dynamic shapes.
+
+    Reference usages: SparK RandomResizedCrop(256, scale=(0.67, 1))
+    (Spark/utils/dataset.py:38), MoCo RandomResizedCrop(224, scale=(0.2, 1))
+    (moco_data_module.py:123), CM-UNet RandomResizedCrop(256, scale=(0.2, 1))
+    (configs/cmunet_config.py:49).
+    """
+    h, w = img.shape[-2:] if img.ndim == 2 else img.shape[:2]
+    h, w = img.shape[0], img.shape[1]
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    area = h * w * jax.random.uniform(k1, minval=scale[0], maxval=scale[1])
+    log_r = jax.random.uniform(
+        k2, minval=jnp.log(ratio[0]), maxval=jnp.log(ratio[1])
+    )
+    aspect = jnp.exp(log_r)
+    cw = jnp.sqrt(area * aspect)
+    ch = jnp.sqrt(area / aspect)
+    cw = jnp.clip(cw, 1.0, w)
+    ch = jnp.clip(ch, 1.0, h)
+    y0 = jax.random.uniform(k3, minval=0.0, maxval=1.0) * (h - ch)
+    x0 = jax.random.uniform(k4, minval=0.0, maxval=1.0) * (w - cw)
+    # Map crop window [y0, y0+ch) x [x0, x0+cw) onto (out, out):
+    sy = out_size / ch
+    sx = out_size / cw
+    img3 = img[..., None] if img.ndim == 2 else img
+    out = jax.image.scale_and_translate(
+        img3.astype(jnp.float32),
+        (out_size, out_size, img3.shape[-1]),
+        (0, 1),
+        jnp.stack([sy, sx]),
+        jnp.stack([-y0 * sy, -x0 * sx]),
+        method=method,
+        antialias=True,
+    )
+    return out[..., 0] if img.ndim == 2 else out
+
+
+def random_hflip(key: jax.Array, img: jnp.ndarray, p: float = 0.5) -> jnp.ndarray:
+    return jnp.where(jax.random.uniform(key) < p, jnp.flip(img, axis=1), img)
+
+
+def random_vflip(key: jax.Array, img: jnp.ndarray, p: float = 0.5) -> jnp.ndarray:
+    return jnp.where(jax.random.uniform(key) < p, jnp.flip(img, axis=0), img)
+
+
+def random_rot90(key: jax.Array, img: jnp.ndarray) -> jnp.ndarray:
+    """Uniform k in {0,1,2,3} quarter turns (albumentations RandomRotate90)."""
+    k = jax.random.randint(key, (), 0, 4)
+    return jax.lax.switch(
+        k,
+        [
+            lambda x: x,
+            lambda x: jnp.rot90(x, 1),
+            lambda x: jnp.rot90(x, 2),
+            lambda x: jnp.rot90(x, 3),
+        ],
+        img,
+    )
+
+
+def random_rotation(
+    key: jax.Array, img: jnp.ndarray, max_degrees: float = 180.0, p: float = 1.0
+) -> jnp.ndarray:
+    """Arbitrary-angle rotation about the center, bilinear, zero-padded.
+
+    MoCo's RandomApply([RandomRotation(180)], p=0.5)
+    (moco_data_module.py:121). Implemented with a dense coordinate warp
+    (map_coordinates order=1) — static shapes, pure gather, XLA-friendly.
+    """
+    kp, ka = jax.random.split(key)
+    angle = jax.random.uniform(ka, minval=-max_degrees, maxval=max_degrees)
+    angle = jnp.deg2rad(angle)
+    h, w = img.shape[0], img.shape[1]
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    yy, xx = jnp.mgrid[0:h, 0:w]
+    yy = yy - cy
+    xx = xx - cx
+    c, s = jnp.cos(angle), jnp.sin(angle)
+    src_y = c * yy - s * xx + cy
+    src_x = s * yy + c * xx + cx
+    rot = jax.scipy.ndimage.map_coordinates(
+        img.astype(jnp.float32), [src_y, src_x], order=1, mode="constant", cval=0.0
+    )
+    return jnp.where(jax.random.uniform(kp) < p, rot, img)
+
+
+def shift_pixel_crop(
+    key: jax.Array, img: jnp.ndarray, out_size: int = 224, max_pixel: int = 0
+) -> jnp.ndarray:
+    """Center crop to out_size with a random offset <= max_pixel.
+
+    CM-UNet's ShiftPixel (cmae/datasets/pipelines/processing.py:98-127):
+    view1 uses max_pixel=0 (pure center crop), view2 max_pixel=31.
+    """
+    h, w = img.shape[0], img.shape[1]
+    base_y = (h - out_size) // 2
+    base_x = (w - out_size) // 2
+    ky, kx = jax.random.split(key)
+    if max_pixel > 0:
+        dy = jax.random.randint(ky, (), 0, max_pixel + 1)
+        dx = jax.random.randint(kx, (), 0, max_pixel + 1)
+    else:
+        dy = dx = 0
+    y0 = jnp.clip(base_y + dy, 0, h - out_size)
+    x0 = jnp.clip(base_x + dx, 0, w - out_size)
+    return jax.lax.dynamic_slice(img, (y0, x0), (out_size, out_size))
+
+
+# ---------------------------------------------------------------- intensity
+
+
+def gaussian_noise(
+    key: jax.Array, img: jnp.ndarray, sigma: float = 0.1, p: float = 1.0
+) -> jnp.ndarray:
+    """Additive N(0, sigma). MoCo uses sigma = max(img)/10
+    (moco_data_module.py:199-213) — pass sigma='max10' via gaussian_noise_max10."""
+    kp, kn = jax.random.split(key)
+    noisy = img + sigma * jax.random.normal(kn, img.shape, jnp.float32)
+    return jnp.where(jax.random.uniform(kp) < p, noisy, img)
+
+
+def gaussian_noise_max10(key: jax.Array, img: jnp.ndarray, p: float = 0.5) -> jnp.ndarray:
+    sigma = jnp.max(img) / 10.0
+    kp, kn = jax.random.split(key)
+    noisy = img + sigma * jax.random.normal(kn, img.shape, jnp.float32)
+    return jnp.where(jax.random.uniform(kp) < p, noisy, img)
+
+
+def _gaussian_kernel_1d(sigma: jnp.ndarray, radius: int) -> jnp.ndarray:
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * jnp.square(x / jnp.maximum(sigma, 1e-3)))
+    return k / jnp.sum(k)
+
+
+def gaussian_blur(
+    key: jax.Array,
+    img: jnp.ndarray,
+    sigma_range: Tuple[float, float] = (0.1, 2.0),
+    radius: int = 3,
+    p: float = 1.0,
+) -> jnp.ndarray:
+    """Separable Gaussian blur with random sigma; static kernel radius.
+
+    Stands in for albumentations GaussianBlur (Finetuning/dataset.py) and the
+    SimCLR-style GaussianBlur in MoCo (sigma 0.1-2).
+    """
+    kp, ks = jax.random.split(key)
+    sigma = jax.random.uniform(ks, minval=sigma_range[0], maxval=sigma_range[1])
+    k1 = _gaussian_kernel_1d(sigma, radius)
+    x = img.astype(jnp.float32)
+    pad = radius
+    xp = jnp.pad(x, ((pad, pad), (0, 0)), mode="edge")
+    xr = jax.vmap(lambda col: jnp.convolve(col, k1, mode="valid"), in_axes=1, out_axes=1)(xp)
+    xp2 = jnp.pad(xr, ((0, 0), (pad, pad)), mode="edge")
+    xc = jax.vmap(lambda row: jnp.convolve(row, k1, mode="valid"))(xp2)
+    return jnp.where(jax.random.uniform(kp) < p, xc, img)
+
+
+def random_brightness_contrast(
+    key: jax.Array,
+    img: jnp.ndarray,
+    brightness_limit: float = 0.2,
+    contrast_limit: float = 0.2,
+    p: float = 1.0,
+) -> jnp.ndarray:
+    """albumentations RandomBrightnessContrast semantics on float images:
+    img * (1 + contrast) + brightness * mean-ish scale."""
+    kp, kb, kc = jax.random.split(key, 3)
+    alpha = 1.0 + jax.random.uniform(kc, minval=-contrast_limit, maxval=contrast_limit)
+    beta = jax.random.uniform(kb, minval=-brightness_limit, maxval=brightness_limit)
+    out = img * alpha + beta * jnp.mean(jnp.abs(img))
+    return jnp.where(jax.random.uniform(kp) < p, out, img)
+
+
+def downscale(key: jax.Array, img: jnp.ndarray, scale: float = 0.25, p: float = 1.0) -> jnp.ndarray:
+    """Quality-loss aug: resize down by `scale` then back up (nearest), like
+    albumentations Downscale (default scale 0.25) in Finetuning/dataset.py."""
+    h, w = img.shape[0], img.shape[1]
+    lh, lw = max(int(h * scale), 1), max(int(w * scale), 1)
+    small = jax.image.resize(img, (lh, lw), method="nearest")
+    up = jax.image.resize(small, (h, w), method="nearest")
+    return jnp.where(jax.random.uniform(key) < p, up, img)
+
+
+# ---------------------------------------------------------------- pipelines
+
+
+def finetune_train_aug(key: jax.Array, img: jnp.ndarray, mask: jnp.ndarray):
+    """The supervised fine-tune augmentation chain
+    (Finetuning/dataset.py:134-163), applied on the 256-cached pair.
+
+    Reference order: RandomCrop(475) [identity on 475x475 originals] ->
+    GaussNoise p.1 -> GaussianBlur p.2 -> BrightnessContrast p.15 ->
+    Downscale p.25 -> OneOf{HFlip, VFlip, Rotate90, GaussNoise} p.75.
+    Geometric ops are applied to image and mask jointly; intensity ops to the
+    image only. (Deviation: the reference augments at 475 then resizes; we
+    augment the 256 cache — same distribution up to resampling order.)
+    """
+    ks = jax.random.split(key, 6)
+    img = gaussian_noise(ks[0], img, sigma=0.05, p=0.1)
+    img = gaussian_blur(ks[1], img, sigma_range=(0.3, 1.5), radius=3, p=0.2)
+    img = random_brightness_contrast(ks[2], img, p=0.15)
+    img = downscale(ks[3], img, scale=0.25, p=0.25)
+
+    # OneOf with p=0.75: pick one of 4 branches uniformly.
+    do = jax.random.uniform(ks[4]) < 0.75
+    branch = jax.random.randint(ks[5], (), 0, 4)
+    kb = jax.random.fold_in(key, 7)
+
+    def apply_pair(i, im, mk):
+        return jax.lax.switch(
+            i,
+            [
+                lambda a, b: (jnp.flip(a, axis=1), jnp.flip(b, axis=1)),
+                lambda a, b: (jnp.flip(a, axis=0), jnp.flip(b, axis=0)),
+                lambda a, b: (jnp.rot90(a), jnp.rot90(b)),
+                lambda a, b: (a + 0.05 * jax.random.normal(kb, a.shape), b),
+            ],
+            im,
+            mk,
+        )
+
+    img2, mask2 = apply_pair(branch, img, mask)
+    img = jnp.where(do, img2, img)
+    mask = jnp.where(do, mask2, mask)
+    return img, mask
+
+
+def spark_pretrain_aug(key: jax.Array, img: jnp.ndarray, out_size: int = 256) -> jnp.ndarray:
+    """SparK pretrain pipeline: RandomResizedCrop(out, scale (0.67, 1)) + HFlip
+    (Spark/utils/dataset.py:34-45)."""
+    k1, k2 = jax.random.split(key)
+    img = random_resized_crop(k1, img, out_size, scale=(0.67, 1.0), method="cubic")
+    return random_hflip(k2, img)
+
+
+def moco_view_aug(key: jax.Array, img: jnp.ndarray, out_size: int = 224) -> jnp.ndarray:
+    """One MoCo 'global' view (moco_data_module.py:119-132): RandomRotation(180)
+    p.5 -> RandomResizedCrop(224, (0.2, 1)) -> GaussianBlur p.5 -> HFlip ->
+    VFlip -> GaussNoise(max/10) p.5."""
+    ks = jax.random.split(key, 6)
+    img = random_rotation(ks[0], img, 180.0, p=0.5)
+    img = random_resized_crop(ks[1], img, out_size, scale=(0.2, 1.0), method="cubic")
+    img = gaussian_blur(ks[2], img, sigma_range=(0.1, 2.0), radius=3, p=0.5)
+    img = random_hflip(ks[3], img)
+    img = random_vflip(ks[4], img)
+    img = gaussian_noise_max10(ks[5], img, p=0.5)
+    return img
+
+
+def cmunet_two_views(
+    key: jax.Array, img: jnp.ndarray, out_size: int = 224, shift: int = 31
+):
+    """CM-UNet dual-view pipeline (cmae/datasets/cmunet_dataset.py:39-55):
+    shared RandomResizedCrop(256, (0.2,1)) + RandomFlip(0.5), then
+    view1 = ShiftPixel(0) 224-crop, view2 = ShiftPixel(<=31) + GaussNoise p.5."""
+    ks = jax.random.split(key, 5)
+    base = random_resized_crop(ks[0], img, 256, scale=(0.2, 1.0), method="cubic")
+    base = random_hflip(ks[1], base)
+    v1 = shift_pixel_crop(ks[2], base, out_size, max_pixel=0)
+    v2 = shift_pixel_crop(ks[3], base, out_size, max_pixel=shift)
+    v2 = gaussian_noise_max10(ks[4], v2, p=0.5)
+    return v1, v2

@@ -1,0 +1,270 @@
+"""Fine-tuning harness: epoch loop, grid search, K-fold, final test.
+
+Counterpart of Finetuning/train.py's L3 layer:
+  * Epoch/TrainEpoch/ValidEpoch meters+loop (81-190) -> run_epoch
+  * train(): best-valid-dice checkpointing (193-214)
+  * main_finetuning(): LR x EPOCH x BATCH grid, 3-fold KFold (311-378)
+  * test(): retrain at best hypers on the full fine-tune set, evaluate on the
+    held-out 20% (380-426)
+  * find_best_epochs: epoch minimizing dice+CE with inf/NaN backfill
+    (Finetuning/utils.py:4-61)
+
+Device metrics (dice/CE/IoU/clDice) come out of the jitted step; host metrics
+(Hausdorff, artery radius) are computed per validation epoch on gathered
+logits — off the hot path, unlike the reference's per-batch device->host sync
+(metrics.py:320-331).
+"""
+
+from __future__ import annotations
+
+import itertools
+import pickle
+import time
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from sklearn.model_selection import KFold
+
+from cmx.eval import host_metrics
+from cmx.eval.metrics import segmentation_metrics
+from cmx.models.unet import UNet
+from cmx.parallel.mesh import make_mesh, pad_to_multiple, shard_batch
+from cmx.train.optim import make_optimizer
+from cmx.train.state import TrainState
+from cmx.train.supervised import make_eval_fn, make_supervised_task
+from cmx.train.trainer import make_train_step
+from cmx.utils.logging import AverageMeter
+
+
+def find_best_epochs(valid_logs: Dict[str, List[float]]) -> int:
+    """Epoch minimizing dice_loss + cross_entropy_loss, back-filling inf/NaN
+    hausdorff from the previous epoch (Finetuning/utils.py:4-61)."""
+    dice = np.asarray(valid_logs["dice_loss"], dtype=np.float64)
+    ce = np.asarray(valid_logs["cross_entropy_loss"], dtype=np.float64)
+    if "hausdorff" in valid_logs:
+        h = np.asarray(valid_logs["hausdorff"], dtype=np.float64)
+        for i in range(1, len(h)):
+            if not np.isfinite(h[i]):
+                h[i] = h[i - 1]
+        valid_logs = dict(valid_logs)
+        valid_logs["hausdorff"] = h.tolist()
+    total = dice + ce
+    total = np.where(np.isfinite(total), total, np.inf)
+    return int(np.argmin(total))
+
+
+def _batches(n: int, batch: int, rng: Optional[np.random.Generator], pad_multiple: int = 1):
+    idx = rng.permutation(n) if rng is not None else np.arange(n)
+    for i in range(0, n, batch):
+        chunk = idx[i : i + batch]
+        if len(chunk) < max(batch, pad_multiple):
+            # pad by wrapping so shapes stay static for jit
+            need = max(batch, pad_multiple)
+            chunk = np.concatenate([chunk, idx[: need - len(chunk)]])
+        yield chunk
+
+
+@dataclass
+class FitResult:
+    train_logs: Dict[str, List[float]]
+    valid_logs: Dict[str, List[float]]
+    best_epoch: int
+    runtime: float
+    state: Any
+
+
+class _Runner:
+    """Compile-once bundle: (model, jitted step, jitted eval, tx).
+
+    The LR grid search / KFold loop runs many short fits; rebuilding the jit
+    per fit would recompile every time (the dominant cost on CPU and on the
+    TPU remote-compile path). The optimizer LR is an optax injected
+    hyperparameter living in opt_state, so every (lr, fold) run reuses ONE
+    compiled step."""
+
+    def __init__(self, model: Optional[UNet], augment: bool):
+        import optax
+
+        self.model = model or UNet(out_classes=2)
+        self.task, _ = make_supervised_task(self.model, augment=augment)
+        self.tx = optax.inject_hyperparams(optax.sgd)(
+            learning_rate=1e-3, momentum=0.9
+        )
+        self.step = make_train_step(self.task, self.tx, donate=False)
+        self.eval_fn = make_eval_fn(self.model)
+
+    def make_state(self, variables, lr: float, seed: int) -> TrainState:
+        state = TrainState.create(
+            params=variables["params"],
+            batch_stats=variables["batch_stats"],
+            tx=self.tx,
+            rng=jax.random.key(seed),
+        )
+        state.opt_state.hyperparams["learning_rate"] = jnp.asarray(lr, jnp.float32)
+        return state
+
+
+_RUNNERS: Dict[Any, _Runner] = {}
+
+
+def get_runner(model: Optional[UNet] = None, augment: bool = True) -> _Runner:
+    key = (id(model) if model is not None else None, augment)
+    if key not in _RUNNERS:
+        _RUNNERS[key] = _Runner(model, augment)
+    return _RUNNERS[key]
+
+
+_METRIC_FN = None
+
+
+def _jitted_segmentation_metrics():
+    """One process-wide jitted metric fn (a fresh jax.jit per eval call would
+    recompile every time)."""
+    global _METRIC_FN
+    if _METRIC_FN is None:
+        _METRIC_FN = jax.jit(segmentation_metrics)
+    return _METRIC_FN
+
+
+def evaluate(
+    eval_fn, state: TrainState, imgs: np.ndarray, masks: np.ndarray,
+    batch: int = 8, host: bool = True,
+) -> Dict[str, float]:
+    """Full-set eval: device metrics + optional host metrics."""
+    meters: Dict[str, AverageMeter] = {}
+    n = imgs.shape[0]
+    metric_fn = _jitted_segmentation_metrics()
+    for i in range(0, n, batch):
+        xb = jnp.asarray(imgs[i : i + batch])
+        yb = jnp.asarray(masks[i : i + batch])
+        logits = eval_fn(state.params, state.batch_stats, xb)
+        m = {k: float(v) for k, v in metric_fn(logits, yb).items()}
+        if host:
+            probs = np.asarray(jax.nn.softmax(logits, axis=-1))
+            m["hausdorff"] = host_metrics.hausdorff_metric(
+                probs[..., 1], np.asarray(yb[..., 1])
+            )
+            m["radius_arteries"] = host_metrics.radius_arteries_metric(
+                np.asarray(logits), np.asarray(yb)
+            )
+        for k, v in m.items():
+            meters.setdefault(k, AverageMeter()).add(v, n=xb.shape[0])
+    return {k: mt.mean for k, mt in meters.items()}
+
+
+def fit(
+    imgs_train: np.ndarray,
+    masks_train: np.ndarray,
+    imgs_valid: np.ndarray,
+    masks_valid: np.ndarray,
+    *,
+    lr: float = 1e-3,
+    epochs: int = 10,
+    batch: int = 8,
+    seed: int = 42,
+    model: Optional[UNet] = None,
+    augment: bool = True,
+    host_metrics_every: int = 0,
+    init_variables: Optional[dict] = None,
+    verbose: bool = False,
+) -> FitResult:
+    """One supervised fine-tune run (the reference's `train`, train.py:193-214).
+
+    SGD(lr, momentum .9) like Finetuning/train.py:347; per-epoch valid
+    metrics; best state kept by dice_loss.
+    """
+    t0 = time.time()
+    runner = get_runner(model, augment)
+    model = runner.model
+    if init_variables is None:
+        init_variables = model.init(
+            jax.random.key(seed), jnp.asarray(imgs_train[:1])
+        )
+    state = runner.make_state(init_variables, lr, seed)
+    mesh = make_mesh()
+    n_dev = len(mesh.devices.ravel())
+    step = runner.step
+    eval_fn = runner.eval_fn
+    host_rng = np.random.default_rng(seed)
+
+    train_logs: Dict[str, List[float]] = {}
+    valid_logs: Dict[str, List[float]] = {}
+    best = (np.inf, None)
+    for ep in range(epochs):
+        meters: Dict[str, AverageMeter] = {}
+        for chunk in _batches(imgs_train.shape[0], batch, host_rng, n_dev):
+            xb = shard_batch(jnp.asarray(imgs_train[chunk]), mesh)
+            yb = shard_batch(jnp.asarray(masks_train[chunk]), mesh)
+            state, metrics = step(state, (xb, yb))
+            for k, v in metrics.items():
+                meters.setdefault(k, AverageMeter()).add(float(v))
+        for k, mt in meters.items():
+            train_logs.setdefault(k, []).append(mt.mean)
+
+        do_host = host_metrics_every and ((ep + 1) % host_metrics_every == 0)
+        vm = evaluate(eval_fn, state, imgs_valid, masks_valid, batch=batch,
+                      host=bool(do_host))
+        for k, v in vm.items():
+            valid_logs.setdefault(k, []).append(v)
+        if vm["dice_loss"] < best[0]:
+            best = (vm["dice_loss"], jax.tree.map(np.asarray, (state.params, state.batch_stats)))
+        if verbose:
+            print(f"epoch {ep}: train {train_logs['loss'][-1]:.4f} "
+                  f"valid dice_loss {vm['dice_loss']:.4f}")
+
+    best_ep = find_best_epochs(valid_logs)
+    if best[1] is not None:
+        bp, bbs = best[1]
+        state = state.replace(params=jax.tree.map(jnp.asarray, bp),
+                              batch_stats=jax.tree.map(jnp.asarray, bbs))
+    return FitResult(train_logs, valid_logs, best_ep, time.time() - t0, state)
+
+
+def grid_search(
+    imgs: np.ndarray,
+    masks: np.ndarray,
+    *,
+    lrs: Sequence[float] = (1e-2, 1e-3, 1e-4, 1e-5),
+    epochs_grid: Sequence[int] = (128,),
+    batches: Sequence[int] = (32,),
+    n_folds: int = 3,
+    seed: int = 42,
+    results_path: Optional[str] = None,
+    init_variables: Optional[dict] = None,
+    **fit_kw,
+) -> Tuple[float, int, int, List[dict]]:
+    """LR x EPOCH x BATCH grid with KFold CV (main_finetuning, train.py:311-378).
+
+    Returns (best_lr, best_batch, best_epochs, all_results)."""
+    results = []
+    best = (np.inf, None)
+    for lr, eps, bs in itertools.product(lrs, epochs_grid, batches):
+        fold_scores = []
+        fold_logs = []
+        kf = KFold(n_splits=n_folds, shuffle=True, random_state=seed)
+        for tr_idx, va_idx in kf.split(imgs):
+            res = fit(
+                imgs[tr_idx], masks[tr_idx], imgs[va_idx], masks[va_idx],
+                lr=lr, epochs=eps, batch=bs, seed=seed,
+                init_variables=init_variables, **fit_kw,
+            )
+            be = res.best_epoch
+            fold_scores.append(
+                res.valid_logs["dice_loss"][be] + res.valid_logs["cross_entropy_loss"][be]
+            )
+            fold_logs.append({"train_logs": res.train_logs,
+                              "valid_logs": res.valid_logs,
+                              "best_epoch": be, "runtime": res.runtime})
+        score = float(np.mean(fold_scores))
+        results.append({"lr": lr, "epochs": eps, "batch": bs,
+                        "score": score, "folds": fold_logs})
+        if score < best[0]:
+            best = (score, (lr, bs, eps))
+    if results_path:
+        with open(results_path, "wb") as f:
+            pickle.dump(results, f)
+    lr, bs, eps = best[1]
+    return lr, bs, eps, results

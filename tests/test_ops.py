@@ -1,0 +1,169 @@
+"""Device-op tests: augmentation graph, Genesis distortions, masking."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cmx.ops import augment, genesis, masking
+
+
+KEY = jax.random.key(0)
+
+
+def _img(rng, h=64, w=64):
+    return jnp.asarray(rng.normal(size=(h, w)).astype(np.float32))
+
+
+# ------------------------------------------------------------------ augment
+
+
+def test_random_resized_crop_shape(rng):
+    img = _img(rng)
+    out = augment.random_resized_crop(KEY, img, 32)
+    assert out.shape == (32, 32)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_random_resized_crop_full_scale_is_resize(rng):
+    img = _img(rng)
+    out = augment.random_resized_crop(KEY, img, 64, scale=(1.0, 1.0), ratio=(1.0, 1.0))
+    # scale=1, ratio=1 -> crop is the whole image -> output ~ original
+    np.testing.assert_allclose(np.asarray(out), np.asarray(img), atol=0.2)
+
+
+def test_flips_and_rot90(rng):
+    img = _img(rng)
+    flipped = augment.random_hflip(KEY, img, p=1.0)
+    np.testing.assert_allclose(np.asarray(flipped), np.asarray(img)[:, ::-1])
+    same = augment.random_hflip(KEY, img, p=0.0)
+    np.testing.assert_allclose(np.asarray(same), np.asarray(img))
+    rot = augment.random_rot90(KEY, img)
+    assert rot.shape == img.shape
+
+
+def test_random_rotation_preserves_energy_roughly(rng):
+    img = jnp.ones((32, 32))
+    out = augment.random_rotation(KEY, img, 180.0, p=1.0)
+    # rotation of constant image keeps interior at 1 (zero-padded corners)
+    assert float(out[16, 16]) == pytest.approx(1.0, abs=1e-5)
+
+
+def test_shift_pixel_crop(rng):
+    img = _img(rng, 256, 256)
+    v1 = augment.shift_pixel_crop(KEY, img, 224, max_pixel=0)
+    assert v1.shape == (224, 224)
+    np.testing.assert_allclose(np.asarray(v1), np.asarray(img)[16:240, 16:240])
+    v2 = augment.shift_pixel_crop(KEY, img, 224, max_pixel=31)
+    assert v2.shape == (224, 224)
+
+
+def test_gaussian_blur_smooths(rng):
+    img = _img(rng)
+    out = augment.gaussian_blur(KEY, img, sigma_range=(2.0, 2.0), p=1.0)
+    assert float(jnp.var(out)) < float(jnp.var(img))
+    assert out.shape == img.shape
+
+
+def test_downscale_degrades(rng):
+    img = _img(rng)
+    out = augment.downscale(KEY, img, scale=0.25, p=1.0)
+    assert out.shape == img.shape
+    # nearest down+up produces 4x4 blocks -> fewer unique values
+    assert len(np.unique(np.asarray(out))) < len(np.unique(np.asarray(img)))
+
+
+def test_pipelines_jit_and_shapes(rng):
+    imgs = jnp.asarray(rng.normal(size=(4, 64, 64)).astype(np.float32))
+    out = jax.jit(lambda k, b: augment.vmap_aug(augment.spark_pretrain_aug, k, b, 64))(KEY, imgs)
+    assert out.shape == (4, 64, 64)
+    out = jax.jit(lambda k, b: augment.vmap_aug(augment.moco_view_aug, k, b, 32))(KEY, imgs)
+    assert out.shape == (4, 32, 32)
+    v1, v2 = jax.jit(
+        lambda k, b: augment.vmap_aug(augment.cmunet_two_views, k, b, 32, 8)
+    )(KEY, jnp.asarray(rng.normal(size=(4, 256, 256)).astype(np.float32)))
+    assert v1.shape == (4, 32, 32) and v2.shape == (4, 32, 32)
+
+
+# ------------------------------------------------------------------ genesis
+
+
+def test_nonlinear_transformation_preserves_range(rng):
+    img = _img(rng)
+    out = genesis.nonlinear_transformation(KEY, img, prob=1.0)
+    assert out.shape == img.shape
+    # remap stays within [min, max] of the bezier endpoints
+    assert float(out.min()) >= float(img.min()) - 1e-3
+    assert float(out.max()) <= float(img.max()) + 1e-3
+
+
+def test_local_pixel_shuffling_is_permutation_like(rng):
+    img = _img(rng, 40, 40)
+    out = genesis.local_pixel_shuffling(KEY, img, prob=1.0)
+    assert out.shape == img.shape
+    # shuffle moves pixels but preserves global statistics approximately
+    assert float(jnp.abs(jnp.mean(out) - jnp.mean(img))) < 0.05
+    assert not np.allclose(np.asarray(out), np.asarray(img))
+
+
+def test_in_painting_modifies_blocks(rng):
+    img = jnp.zeros((60, 60)) - 5.0
+    out = genesis.image_in_painting(KEY, img)
+    changed = np.asarray(out != img)
+    assert changed.any()
+    # painted values are uniform [0,1)
+    assert float(out.max()) <= 1.0
+
+
+def test_out_painting_keeps_some_blocks(rng):
+    img = jnp.zeros((60, 60)) - 5.0
+    out = genesis.image_out_painting(KEY, img)
+    kept = np.asarray(out == -5.0)
+    assert kept.any()  # some original kept
+    assert (~kept).any()  # some noise
+
+
+def test_genesis_batch_jits(rng):
+    imgs = jnp.asarray(rng.normal(size=(2, 64, 64)).astype(np.float32))
+    x, y = jax.jit(genesis.genesis_batch)(KEY, imgs)
+    assert x.shape == imgs.shape and y.shape == imgs.shape
+    assert np.isfinite(np.asarray(x)).all()
+
+
+# ------------------------------------------------------------------ masking
+
+
+def test_random_patch_mask_exact_ratio():
+    m = masking.random_patch_mask(KEY, batch=4, img_size=64, patch_size=16, mask_ratio=0.5)
+    assert m.shape == (4, 64, 64)
+    # exactly half the 16 patches masked -> active fraction 0.5
+    np.testing.assert_allclose(np.asarray(m).mean(axis=(1, 2)), 0.5)
+    # per-sample masks differ
+    assert not np.array_equal(np.asarray(m[0]), np.asarray(m[1]))
+
+
+def test_random_patch_mask_shared_mode():
+    m = masking.random_patch_mask(KEY, batch=3, img_size=32, patch_size=16, mask_ratio=0.5, shared=True)
+    assert np.array_equal(np.asarray(m[0]), np.asarray(m[1]))
+
+
+def test_spark_active_mask_keep_count():
+    m = masking.spark_active_mask(KEY, batch=8, fmap_size=4, mask_ratio=0.6)
+    assert m.shape == (8, 4, 4)
+    keeps = np.asarray(m).sum(axis=(1, 2))
+    np.testing.assert_allclose(keeps, round(16 * 0.4))
+
+
+def test_patchify_roundtrip(rng):
+    x = jnp.asarray(rng.normal(size=(2, 32, 32)).astype(np.float32))
+    p = masking.patchify(x, 16)
+    assert p.shape == (2, 4, 256)
+    back = masking.unpatchify(p, 16, 32, 32)
+    np.testing.assert_allclose(np.asarray(back[..., 0]), np.asarray(x))
+
+
+def test_upsample_mask():
+    g = jnp.asarray([[[1.0, 0.0], [0.0, 1.0]]])
+    up = masking.upsample_mask(g, 2)
+    assert up.shape == (1, 4, 4)
+    np.testing.assert_allclose(np.asarray(up[0, :2, :2]), 1.0)
