@@ -114,7 +114,22 @@ def load_pretrain_images(cfg: Config) -> np.ndarray:
             write_corpus(cfg.data.data_dir, n=cfg.data.synthetic_n, size=cfg.data.image_size)
     xs, ys = list_corpus(cfg.data.data_dir)
     splits = make_splits(xs, ys, ratio=cfg.data.ratio)
-    imgs, _ = load_corpus(splits.pretrain_x, None, size=cfg.data.image_size)
+    imgs = None
+    if cfg.data.native_loader:
+        from cmx.native.loader import load_corpus_native
+
+        imgs = load_corpus_native(splits.pretrain_x, cfg.data.image_size)
+    if imgs is None:
+        imgs, _ = load_corpus(splits.pretrain_x, None, size=cfg.data.image_size)
+    if cfg.data.extra_data_dir:
+        # --arcade analog: extra unlabeled images appended to the pool
+        extra_paths = [
+            os.path.join(cfg.data.extra_data_dir, f)
+            for f in sorted(os.listdir(cfg.data.extra_data_dir))
+            if f.endswith(".npy")
+        ]
+        extra, _ = load_corpus(extra_paths, None, size=cfg.data.image_size)
+        imgs = np.concatenate([imgs, extra], axis=0)
     return imgs
 
 
@@ -181,6 +196,32 @@ def main(argv: Optional[list] = None) -> None:
     step_fn = make_train_step(task, tx)
     logger = MetricLogger()
     jsonl = JsonlLogger(os.path.join(ckpt_dir, "log.jsonl"))
+    tb = None
+    if cfg.train.tensorboard:
+        from cmx.utils.tensorboard import TensorboardLogger
+
+        tb = TensorboardLogger(os.path.join(ckpt_dir, "tb"))
+
+    # Genesis-style validation slice + early stopping (patience 50 in the
+    # reference config; off by default here).
+    val_imgs = None
+    if cfg.train.patience > 0 and imgs.shape[0] > 4:
+        n_val = max(per_host_batch, int(imgs.shape[0] * cfg.train.val_fraction))
+        n_val = min(n_val, imgs.shape[0] // 2)
+        val_imgs, imgs = imgs[:n_val], imgs[n_val:]
+        sampler = InfiniteBatchSampler(
+            imgs.shape[0], per_host_batch, rank=rank, world_size=world,
+            seed=cfg.train.seed,
+        )
+        steps_per_epoch = sampler.iters_per_epoch
+
+        @jax.jit
+        def val_loss_fn(state, batch, key):
+            loss, _ = task.loss_fn(state.params, state, batch, key)
+            return loss
+
+    best_val = float("inf")
+    bad_epochs = 0
     it = iter(sampler)
     start_ep = int(state.step) // steps_per_epoch
     for ep in range(start_ep, cfg.train.epochs):
@@ -191,12 +232,43 @@ def main(argv: Optional[list] = None) -> None:
             state, metrics = step_fn(state, batch)
             logger.update(**{k: float(v) for k, v in metrics.items()})
         dt = time.time() - t0
+        epoch_metrics = {k: m.avg for k, m in logger.meters.items()}
         print(f"epoch {ep}: {logger}  ({dt:.1f}s, "
               f"{steps_per_epoch * per_host_batch / dt:.1f} img/s)")
-        jsonl.write(epoch=ep, **{k: m.avg for k, m in logger.meters.items()})
+
+        if val_imgs is not None:
+            vb = val_imgs[: (len(val_imgs) // per_host_batch) * per_host_batch]
+            vlosses = [
+                float(val_loss_fn(
+                    state,
+                    shard_batch(jnp.asarray(vb[i : i + per_host_batch]), mesh),
+                    jax.random.fold_in(jax.random.key(cfg.train.seed), ep),
+                ))
+                for i in range(0, len(vb), per_host_batch)
+            ]
+            vloss = float(np.mean(vlosses))
+            epoch_metrics["val_loss"] = vloss
+            if vloss < best_val:
+                best_val = vloss
+                bad_epochs = 0
+                mgr.save(int(state.step), state, config=to_dict(cfg),
+                         metrics={"val_loss": vloss}, force=True)
+            else:
+                bad_epochs += 1
+            print(f"  val_loss {vloss:.4f} (best {best_val:.4f}, "
+                  f"bad {bad_epochs}/{cfg.train.patience})")
+            if bad_epochs >= cfg.train.patience:
+                print("early stop")
+                break
+
+        jsonl.write(epoch=ep, **epoch_metrics)
+        if tb is not None:
+            tb.log_dict(epoch_metrics, ep)
         if cfg.train.save_every_epoch or ep == cfg.train.epochs - 1:
             mgr.save(int(state.step), state, config=to_dict(cfg))
     export_encoder(state, os.path.join(ckpt_dir, "encoder.npz"))
+    if tb is not None:
+        tb.close()
     mgr.close()
     print("done; encoder exported to", os.path.join(ckpt_dir, "encoder.npz"))
 

@@ -28,6 +28,11 @@ class DataConfig:
     synthetic: bool = False  # use generated corpus when no dataset present
     synthetic_n: int = 64
     num_prefetch: int = 2
+    # extra unlabeled pretraining data (the reference's --arcade option,
+    # Genesis_Chest_CT.py:31-41 / Spark arg_util.py): a directory of .npy
+    # images appended to the pretrain pool.
+    extra_data_dir: str = ""
+    native_loader: bool = True  # use the C++ corpus loader when available
 
 
 @dataclass
@@ -58,6 +63,12 @@ class TrainConfig:
     ckpt_dir: str = "checkpoints"
     save_every_epoch: bool = False
     resume: bool = True
+    # Genesis-style early stopping (Genesis_Chest_CT.py:160-176):
+    # patience 0 disables; val_fraction carves a validation slice from the
+    # pretrain pool for the best-val checkpoint gate.
+    patience: int = 0
+    val_fraction: float = 0.1
+    tensorboard: bool = False
 
 
 @dataclass

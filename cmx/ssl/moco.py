@@ -128,3 +128,64 @@ def make_moco_task(
         }
 
     return Task(name="moco", loss_fn=loss_fn, post_update=post_update), model
+
+
+def init_val_queue(rng: jax.Array, num_negatives: int = 65536):
+    """Separate validation queue (moco2_module.py:137-142)."""
+    q = jax.random.normal(rng, (num_negatives, EMB_DIM), jnp.float32)
+    return {
+        "queue": q / jnp.linalg.norm(q, axis=1, keepdims=True),
+        "queue_ptr": jnp.zeros((), jnp.int32),
+    }
+
+
+def make_moco_validate(
+    model: UNetEncoderGAP,
+    *,
+    temperature: float = 0.07,
+    view_size: int = 224,
+    augment: bool = True,
+):
+    """Validation step vs the val queue with precision@1/5
+    (moco2_module.py:311-336). Returns a jitted fn
+    (state, val_queue, imgs, key) -> (metrics, new_val_queue)."""
+
+    @jax.jit
+    def validate(state, val_queue, imgs, key):
+        if augment:
+            kq, kk = jax.random.split(key)
+            img_q = vmap_aug(moco_view_aug, kq, imgs, view_size)
+            img_k = vmap_aug(moco_view_aug, kk, imgs, view_size)
+        else:
+            img_q = img_k = imgs
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        eval_model = model.clone(use_running_average=True)
+        q = eval_model.apply(variables, img_q)
+        q = q / jnp.linalg.norm(q, axis=1, keepdims=True)
+        k = eval_model.apply(
+            {
+                "params": state.extra["key_params"],
+                "batch_stats": state.extra["key_batch_stats"],
+            },
+            img_k,
+        )
+        k = k / jnp.linalg.norm(k, axis=1, keepdims=True)
+        l_pos = jnp.einsum("nc,nc->n", q, k)[:, None]
+        l_neg = jnp.einsum("nc,kc->nk", q, val_queue["queue"])
+        logits = jnp.concatenate([l_pos, l_neg], axis=1) / temperature
+        labels = jnp.zeros((q.shape[0],), jnp.int32)
+        loss = optax.softmax_cross_entropy_with_integer_labels(logits, labels).mean()
+        top5 = jax.lax.top_k(logits, 5)[1]
+        acc1 = jnp.mean((top5[:, 0] == 0).astype(jnp.float32))
+        acc5 = jnp.mean(jnp.any(top5 == 0, axis=1).astype(jnp.float32))
+        K = val_queue["queue"].shape[0]
+        new_q = jax.lax.dynamic_update_slice(
+            val_queue["queue"], k, (val_queue["queue_ptr"], 0)
+        )
+        new_ptr = jnp.mod(val_queue["queue_ptr"] + k.shape[0], K).astype(jnp.int32)
+        return (
+            {"val_loss": loss, "val_acc1": acc1, "val_acc5": acc5},
+            {"queue": new_q, "queue_ptr": new_ptr},
+        )
+
+    return validate

@@ -170,3 +170,35 @@ def make_spark_task(
         return loss, TaskAux(batch_stats=mut["batch_stats"], metrics={"recon": loss})
 
     return Task(name="spark", loss_fn=loss_fn), model
+
+
+def spark_reconstruct(
+    model: SparKModel, params, batch_stats, imgs: jnp.ndarray,
+    active_grid: jnp.ndarray,
+):
+    """Vis mode (spark.py:125-129): returns (input, masked_input,
+    reconstruction-or-input) with the per-patch normalization undone."""
+    b, h, w = imgs.shape
+    p = DOWNSAMPLE_RATIO
+    f = h // p
+    eval_model = model.clone(use_running_average=True)
+    rec = eval_model.apply(
+        {"params": params, "batch_stats": batch_stats}, imgs, active_grid
+    )
+
+    def patch(x):
+        x = x.reshape(b, f, p, f, p)
+        return x.transpose(0, 1, 3, 2, 4).reshape(b, f * f, p * p)
+
+    def unpatch(x):
+        x = x.reshape(b, f, f, p, p).transpose(0, 1, 3, 2, 4)
+        return x.reshape(b, h, w)
+
+    inp_p = patch(imgs.astype(jnp.float32))
+    mean = inp_p.mean(axis=-1, keepdims=True)
+    std = jnp.sqrt(inp_p.var(axis=-1, keepdims=True) + 1e-6)
+    rec_img = unpatch(patch(rec) * std + mean)
+    active_pix = upsample_mask(active_grid, p)
+    masked = imgs * active_pix
+    rec_or_inp = jnp.where(active_pix > 0, imgs, rec_img)
+    return imgs, masked, rec_or_inp
