@@ -235,13 +235,21 @@ def segmentation_loss(logits: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     return dice_loss(logits, target) + cross_entropy_loss(logits, target)
 
 
-def segmentation_metrics(logits: jnp.ndarray, target: jnp.ndarray) -> dict:
+def segmentation_metrics(
+    logits: jnp.ndarray, target: jnp.ndarray, cheap: bool = False
+) -> dict:
     """The device-computable part of the reference metric list
     (Finetuning/train.py:458-465). Keys match the reference logging names so
-    the grid-search/best-epoch machinery is drop-in comparable."""
-    return {
+    the grid-search/best-epoch machinery is drop-in comparable.
+
+    `cheap=True` drops soft_clDice — its 10-iteration soft-skeletonize is
+    ~40 full-resolution maxpool passes and triples the train-step time;
+    the harness computes the full set at validation/eval instead."""
+    out = {
         "dice_loss": dice_loss(logits, target),
         "cross_entropy_loss": cross_entropy_loss(logits, target),
         "iou_loss": iou_loss(logits, target),
-        "soft_clDice": soft_cldice_loss(logits, target),
     }
+    if not cheap:
+        out["soft_clDice"] = soft_cldice_loss(logits, target)
+    return out

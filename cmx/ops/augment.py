@@ -104,17 +104,19 @@ def random_rot90(key: jax.Array, img: jnp.ndarray) -> jnp.ndarray:
 
 
 def random_rotation(
-    key: jax.Array, img: jnp.ndarray, max_degrees: float = 180.0, p: float = 1.0
+    key: jax.Array, img: jnp.ndarray, max_degrees: float = 180.0, p: float = 1.0,
+    method: str = "nearest",
 ) -> jnp.ndarray:
-    """Arbitrary-angle rotation about the center, bilinear, zero-padded.
+    """Arbitrary-angle rotation about the center, zero-padded corners.
 
     MoCo's RandomApply([RandomRotation(180)], p=0.5)
-    (moco_data_module.py:121). Implemented with a dense coordinate warp
-    (map_coordinates order=1) — static shapes, pure gather, XLA-friendly.
+    (moco_data_module.py:121). torchvision's RandomRotation default
+    interpolation is NEAREST — method="nearest" matches it with a SINGLE
+    gather (bilinear needs 4 corner gathers; gathers are the dominant cost of
+    this op on TPU — measured 4x slower for "bilinear").
     """
     kp, ka = jax.random.split(key)
-    angle = jax.random.uniform(ka, minval=-max_degrees, maxval=max_degrees)
-    angle = jnp.deg2rad(angle)
+    angle = jnp.deg2rad(jax.random.uniform(ka, minval=-max_degrees, maxval=max_degrees))
     h, w = img.shape[0], img.shape[1]
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
     yy, xx = jnp.mgrid[0:h, 0:w]
@@ -123,9 +125,17 @@ def random_rotation(
     c, s = jnp.cos(angle), jnp.sin(angle)
     src_y = c * yy - s * xx + cy
     src_x = s * yy + c * xx + cx
-    rot = jax.scipy.ndimage.map_coordinates(
-        img.astype(jnp.float32), [src_y, src_x], order=1, mode="constant", cval=0.0
-    )
+    if method == "bilinear":
+        rot = jax.scipy.ndimage.map_coordinates(
+            img.astype(jnp.float32), [src_y, src_x], order=1,
+            mode="constant", cval=0.0,
+        )
+    else:
+        iy = jnp.round(src_y).astype(jnp.int32)
+        ix = jnp.round(src_x).astype(jnp.int32)
+        inside = (iy >= 0) & (iy < h) & (ix >= 0) & (ix < w)
+        rot = img[jnp.clip(iy, 0, h - 1), jnp.clip(ix, 0, w - 1)]
+        rot = jnp.where(inside, rot, 0.0).astype(jnp.float32)
     return jnp.where(jax.random.uniform(kp) < p, rot, img)
 
 
@@ -187,17 +197,25 @@ def gaussian_blur(
     """Separable Gaussian blur with random sigma; static kernel radius.
 
     Stands in for albumentations GaussianBlur (Finetuning/dataset.py) and the
-    SimCLR-style GaussianBlur in MoCo (sigma 0.1-2).
+    SimCLR-style GaussianBlur in MoCo (sigma 0.1-2). Implemented as two
+    depthwise lax convolutions ((2r+1,1) then (1,2r+1)) — one fused XLA conv
+    per axis; a per-row jnp.convolve formulation was ~10x slower on TPU.
     """
     kp, ks = jax.random.split(key)
     sigma = jax.random.uniform(ks, minval=sigma_range[0], maxval=sigma_range[1])
     k1 = _gaussian_kernel_1d(sigma, radius)
-    x = img.astype(jnp.float32)
+    x = img.astype(jnp.float32)[None, :, :, None]  # NHWC singleton
     pad = radius
-    xp = jnp.pad(x, ((pad, pad), (0, 0)), mode="edge")
-    xr = jax.vmap(lambda col: jnp.convolve(col, k1, mode="valid"), in_axes=1, out_axes=1)(xp)
-    xp2 = jnp.pad(xr, ((0, 0), (pad, pad)), mode="edge")
-    xc = jax.vmap(lambda row: jnp.convolve(row, k1, mode="valid"))(xp2)
+    xp = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="edge")
+    kv = k1.reshape(2 * radius + 1, 1, 1, 1)
+    kh = k1.reshape(1, 2 * radius + 1, 1, 1)
+    y = jax.lax.conv_general_dilated(
+        xp, kv, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    y = jax.lax.conv_general_dilated(
+        y, kh, (1, 1), "VALID", dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    xc = y[0, :, :, 0]
     return jnp.where(jax.random.uniform(kp) < p, xc, img)
 
 

@@ -20,12 +20,14 @@ from cmx.train.trainer import Task, TaskAux
 
 
 def make_supervised_task(
-    model: Optional[UNet] = None, augment: bool = True
+    model: Optional[UNet] = None, augment: bool = True, cheap_metrics: bool = True
 ) -> Tuple[Task, UNet]:
     """Task whose batch is (images (B,H,W), one-hot masks (B,H,W,C)).
 
     Augmentation runs inside the jitted step (device-side), unlike the
-    reference's DataLoader-worker albumentations.
+    reference's DataLoader-worker albumentations. Per-step metrics default to
+    the cheap set (dice/CE/IoU); soft_clDice runs at validation only — inside
+    the train step it costs ~3x the whole fwd+bwd (40 maxpool passes).
     """
     model = model or UNet(out_classes=2)
 
@@ -40,7 +42,7 @@ def make_supervised_task(
             mutable=["batch_stats"],
         )
         loss = segmentation_loss(logits, masks)
-        metrics = segmentation_metrics(logits, masks)
+        metrics = segmentation_metrics(logits, masks, cheap=cheap_metrics)
         return loss, TaskAux(batch_stats=mut["batch_stats"], metrics=metrics)
 
     return Task(name="supervised", loss_fn=loss_fn), model
