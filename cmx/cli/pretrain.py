@@ -136,12 +136,19 @@ def load_pretrain_images(cfg: Config) -> np.ndarray:
 def main(argv: Optional[list] = None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--task", default=None, help="genesis|mae|moco|spark|cmunet")
+    p.add_argument("--preset", action="store_true",
+                   help="start from the reference recipe for --task "
+                        "(cmx.config.presets) before applying overrides")
     p.add_argument("overrides", nargs="*", help="dotted config overrides a.b=c")
     args = p.parse_args(argv)
 
     initialize_distributed()
     cfg = Config()
     cfg.task.name = args.task or cfg.task.name
+    if args.preset:
+        from cmx.config.presets import PRESETS
+
+        cfg = PRESETS[cfg.task.name](cfg)
     apply_overrides(cfg, args.overrides)
     print(display(cfg))
 
@@ -226,11 +233,16 @@ def main(argv: Optional[list] = None) -> None:
     start_ep = int(state.step) // steps_per_epoch
     for ep in range(start_ep, cfg.train.epochs):
         t0 = time.time()
+        step_metrics = []
         for _ in range(steps_per_epoch):
             idx = next(it)
             batch = shard_batch(jnp.asarray(imgs[idx]), mesh)
             state, metrics = step_fn(state, batch)
-            logger.update(**{k: float(v) for k, v in metrics.items()})
+            step_metrics.append(metrics)  # device arrays; no per-step sync
+        # One host transfer per epoch (a float() per step forces a device
+        # round-trip per step and dominates small-epoch runs).
+        for m in jax.device_get(step_metrics):
+            logger.update(**{k: float(v) for k, v in m.items()})
         dt = time.time() - t0
         epoch_metrics = {k: m.avg for k, m in logger.meters.items()}
         print(f"epoch {ep}: {logger}  ({dt:.1f}s, "

@@ -1,0 +1,105 @@
+"""Reference training recipes as config presets.
+
+Each preset reproduces the hyperparameters the corresponding reference silo
+trained with, so `python -m cmx.cli.pretrain --task spark` + preset gives the
+reference regime on TPU. Citations per field.
+"""
+
+from __future__ import annotations
+
+from cmx.config.config import Config
+
+
+def genesis_preset(cfg: Config | None = None) -> Config:
+    """Model Genesis (Transformation_based/config.py:5-56 +
+    Genesis_Chest_CT.py:85-92): SGD lr 1e-2 momentum .9, batch 64, up to 256
+    epochs, early-stop patience 50, distortion rates in cmx.ops.genesis."""
+    cfg = cfg or Config()
+    cfg.task.name = "genesis"
+    cfg.optim.name = "sgd"
+    cfg.optim.lr = 1e-2
+    cfg.optim.momentum = 0.9
+    cfg.optim.weight_decay = 0.0
+    cfg.optim.clip_norm = None
+    cfg.train.batch_size = 64
+    cfg.train.epochs = 256
+    cfg.train.patience = 50
+    return cfg
+
+
+def mae_preset(cfg: Config | None = None) -> Config:
+    """MAE regime (same script, model='MAE'): mask ratio 0.5 at the call site
+    (Transformation_based/utils.py:205), patch 16, same optimizer."""
+    cfg = genesis_preset(cfg)
+    cfg.task.name = "mae"
+    cfg.task.mask_ratio = 0.5
+    cfg.task.patch_size = 16
+    return cfg
+
+
+def moco_preset(cfg: Config | None = None) -> Config:
+    """MoCo v2 (moco2_module.py:338-395): SGD lr .03 momentum .9 wd 1e-4,
+    queue 65536, T=.07, m=.999, 224 views, 500 epochs."""
+    cfg = cfg or Config()
+    cfg.task.name = "moco"
+    cfg.optim.name = "sgd"
+    cfg.optim.lr = 0.03
+    cfg.optim.momentum = 0.9
+    cfg.optim.weight_decay = 1e-4
+    cfg.optim.clip_norm = None
+    cfg.task.num_negatives = 65536
+    cfg.task.temperature = 0.07
+    cfg.task.ema_momentum = 0.999
+    cfg.task.view_size = 224
+    cfg.train.epochs = 500
+    cfg.train.batch_size = 256
+    return cfg
+
+
+def spark_preset(cfg: Config | None = None) -> Config:
+    """SparK (Spark/utils/arg_util.py:16-93): LAMB, base lr 2e-4 x bs/256,
+    wd .04 -> .2 cosine, mask .6, bs 128, 1600 ep, warmup 40, clip 5,
+    full-UNet decoder."""
+    cfg = cfg or Config()
+    cfg.task.name = "spark"
+    cfg.optim.name = "lamb"
+    cfg.optim.lr = 2e-4
+    cfg.optim.base_lr_scaled = True
+    cfg.optim.weight_decay = 0.04
+    cfg.optim.wd_end = 0.2
+    cfg.optim.clip_norm = 5.0
+    cfg.optim.warmup_epochs = 40
+    cfg.task.mask_ratio = 0.6
+    cfg.task.full_unet = True
+    cfg.train.batch_size = 128
+    cfg.train.epochs = 1600
+    return cfg
+
+
+def cmunet_preset(cfg: Config | None = None) -> Config:
+    """CM-UNet (configs/cmunet_config.py:70-114): AdamW lr 1.5e-4-scaled,
+    bs 256, 300 epochs, warmup 40, mask .65 patch 16, T=.07, EMA .996."""
+    cfg = cfg or Config()
+    cfg.task.name = "cmunet"
+    cfg.optim.name = "adamw"
+    cfg.optim.lr = 1.5e-4
+    cfg.optim.base_lr_scaled = True
+    cfg.optim.weight_decay = 0.05
+    cfg.optim.warmup_epochs = 40
+    cfg.task.mask_ratio = 0.65
+    cfg.task.patch_size = 16
+    cfg.task.temperature = 0.07
+    cfg.task.ema_momentum = 0.996
+    cfg.task.view_size = 224
+    cfg.train.batch_size = 256
+    cfg.train.epochs = 300
+    return cfg
+
+
+PRESETS = {
+    "genesis": genesis_preset,
+    "mae": mae_preset,
+    "moco": moco_preset,
+    "spark": spark_preset,
+    "cmunet": cmunet_preset,
+}

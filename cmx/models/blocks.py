@@ -241,9 +241,17 @@ class UpBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray, skip: jnp.ndarray):
         if self.up_sample_mode == "conv_transpose":
-            x = PixelShuffleUpsample2x(
+            # NOTE: PixelShuffleUpsample2x is numerically identical and ~25%
+            # faster in isolation, but in the full UNet its depth-to-space
+            # transpose breaks fusion with the following concat+conv and the
+            # end-to-end step is ~10% SLOWER (A/B on v5e: 342 vs 382 img/s) —
+            # so the input-dilated conv_transpose stays.
+            x = nn.ConvTranspose(
                 self.features,
+                (2, 2),
+                strides=(2, 2),
                 dtype=self.dtype,
+                param_dtype=jnp.float32,
                 name="up",
             )(x)
         elif self.up_sample_mode == "bilinear":

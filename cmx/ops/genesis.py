@@ -93,16 +93,30 @@ def nonlinear_transformation(
         return jnp.where(jax.random.uniform(kp) < prob, remapped, x)
 
     span = jnp.maximum(vmax - vmin, 1e-8)
-    # Fit y(u) on normalized u = (x - vmin)/span in [0, 1].
-    u = (xs - vmin) / span
-    powers = jnp.stack([u**d for d in range(_POLY_DEG + 1)], axis=1)  # (n, D+1)
-    g = powers.T @ powers + 1e-6 * jnp.eye(_POLY_DEG + 1)
-    coef = jnp.linalg.solve(g, powers.T @ ys)  # (D+1,)
-    ux = jnp.clip((x - vmin) / span, 0.0, 1.0)
-    # Horner
-    acc = jnp.full_like(ux, coef[_POLY_DEG])
-    for d in range(_POLY_DEG - 1, -1, -1):
-        acc = acc * ux + coef[d]
+    # Least-squares fit in a CHEBYSHEV basis on t = 2u-1 in [-1, 1] — a plain
+    # power basis at degree 9 has condition ~1e12 and NaNs out in fp32.
+    def cheb_basis(t):
+        cols = [jnp.ones_like(t), t]
+        for _ in range(_POLY_DEG - 1):
+            cols.append(2.0 * t * cols[-1] - cols[-2])
+        return cols
+
+    t_fit = 2.0 * (xs - vmin) / span - 1.0
+    basis = jnp.stack(cheb_basis(t_fit), axis=1)  # (n, D+1)
+    g = basis.T @ basis + 1e-4 * jnp.eye(_POLY_DEG + 1)
+    coef = jnp.linalg.solve(g, basis.T @ ys)  # (D+1,)
+
+    tx_img = jnp.clip(2.0 * (x - vmin) / span - 1.0, -1.0, 1.0)
+    # Chebyshev recurrence evaluation (pure VPU, no gathers)
+    prev2 = jnp.ones_like(tx_img)
+    prev1 = tx_img
+    acc = coef[0] * prev2 + coef[1] * prev1
+    for d in range(2, _POLY_DEG + 1):
+        cur = 2.0 * tx_img * prev1 - prev2
+        acc = acc + coef[d] * cur
+        prev2, prev1 = prev1, cur
+    # the exact remap is bounded by the curve's y-range; clamp fit overshoot
+    acc = jnp.clip(acc, jnp.min(ys), jnp.max(ys))
     return jnp.where(jax.random.uniform(kp) < prob, acc, x)
 
 

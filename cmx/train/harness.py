@@ -138,20 +138,30 @@ def evaluate(
     n = imgs.shape[0]
     metric_fn = _jitted_segmentation_metrics()
     for i in range(0, n, batch):
-        xb = jnp.asarray(imgs[i : i + batch])
-        yb = jnp.asarray(masks[i : i + batch])
-        logits = eval_fn(state.params, state.batch_stats, xb)
-        m = {k: float(v) for k, v in metric_fn(logits, yb).items()}
+        xb = np.asarray(imgs[i : i + batch])
+        yb = np.asarray(masks[i : i + batch])
+        real = xb.shape[0]
+        if real < batch:
+            # pad to the fixed batch shape — a ragged last batch would force
+            # a fresh jit compile (minutes on the TPU remote-compile path);
+            # metrics are computed on the real rows only.
+            pad = batch - real
+            xb = np.concatenate([xb, xb[:1].repeat(pad, 0)])
+            yb = np.concatenate([yb, yb[:1].repeat(pad, 0)])
+        logits = eval_fn(state.params, state.batch_stats, jnp.asarray(xb))
+        logits = logits[:real]
+        yb_real = jnp.asarray(yb[:real])
+        m = {k: float(v) for k, v in metric_fn(logits, yb_real).items()}
         if host:
             probs = np.asarray(jax.nn.softmax(logits, axis=-1))
             m["hausdorff"] = host_metrics.hausdorff_metric(
-                probs[..., 1], np.asarray(yb[..., 1])
+                probs[..., 1], np.asarray(yb_real[..., 1])
             )
             m["radius_arteries"] = host_metrics.radius_arteries_metric(
-                np.asarray(logits), np.asarray(yb)
+                np.asarray(logits), np.asarray(yb_real)
             )
         for k, v in m.items():
-            meters.setdefault(k, AverageMeter()).add(v, n=xb.shape[0])
+            meters.setdefault(k, AverageMeter()).add(v, n=real)
     return {k: mt.mean for k, mt in meters.items()}
 
 

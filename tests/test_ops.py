@@ -167,3 +167,15 @@ def test_upsample_mask():
     up = masking.upsample_mask(g, 2)
     assert up.shape == (1, 4, 4)
     np.testing.assert_allclose(np.asarray(up[0, :2, :2]), 1.0)
+
+
+def test_nonlinear_poly_close_to_exact(rng):
+    """Fast Chebyshev-fit remap tracks the exact interp remap closely."""
+    img = _img(rng, 64, 64)
+    for seed in range(3):
+        k = jax.random.key(seed)
+        fast = genesis.nonlinear_transformation(k, img, prob=1.0)
+        exact = genesis.nonlinear_transformation(k, img, prob=1.0, exact=True)
+        span = float(img.max() - img.min())
+        err = float(jnp.abs(fast - exact).max()) / span
+        assert err < 0.05, err  # <5% of intensity span
