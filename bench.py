@@ -61,11 +61,14 @@ def main():
     float(metrics["loss"])  # full sync: host transfer (block_until_ready is
     # NOT a reliable barrier through the axon tunnel — device-to-host is)
 
-    t0 = time.perf_counter()
-    for _ in range(BENCH_STEPS):
-        state, metrics = step(state, imgs)
-    float(metrics["loss"])
-    dt = time.perf_counter() - t0
+    best_dt = float("inf")
+    for _ in range(3):  # best-of-3 loops; the tunnel adds run-to-run noise
+        t0 = time.perf_counter()
+        for _ in range(BENCH_STEPS):
+            state, metrics = step(state, imgs)
+        float(metrics["loss"])
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    dt = best_dt
 
     img_s = BENCH_STEPS * BATCH / dt
     img_s_chip = img_s / n_chips

@@ -149,6 +149,16 @@ def bce_with_logits_loss(logits: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarra
     return jnp.mean(jnp.maximum(z, 0) - z * target + jnp.log1p(jnp.exp(-jnp.abs(z))))
 
 
+def label_smooth_loss(
+    logits: jnp.ndarray, target: jnp.ndarray, smoothing: float = 0.1
+) -> jnp.ndarray:
+    """Label-smoothed CE with one-hot targets (the registered-but-unused
+    LabelSmoothLoss of cmae/models/losses/label_smooth_loss.py:11-144)."""
+    n = logits.shape[-1]
+    smoothed = target * (1.0 - smoothing) + smoothing / n
+    return cross_entropy_loss(logits, smoothed)
+
+
 def mse_loss(pred: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     return jnp.mean(jnp.square(pred.astype(jnp.float32) - target.astype(jnp.float32)))
 
