@@ -191,6 +191,12 @@ def main(argv: Optional[list] = None) -> None:
         params=variables["params"], batch_stats=variables["batch_stats"],
         tx=tx, extra=extra, rng=k_state,
     )
+    from cmx.parallel.mesh import replicate
+
+    # commit the state replicated over the mesh up front: otherwise the first
+    # step compiles against uncommitted single-device buffers and the second
+    # epoch recompiles against the step's output shardings.
+    state = replicate(state, mesh)
 
     from cmx.ckpt.checkpoint import CheckpointManager, export_encoder
 
@@ -198,6 +204,9 @@ def main(argv: Optional[list] = None) -> None:
     mgr = CheckpointManager(ckpt_dir)
     if cfg.train.resume and mgr.latest_step() is not None:
         state = mgr.restore(state)
+        # orbax restores to single-device placement; re-replicate over the
+        # mesh or the jitted step sees mixed shardings and refuses.
+        state = replicate(state, mesh)
         print(f"resumed from step {int(state.step)}")
 
     step_fn = make_train_step(task, tx)
@@ -231,14 +240,18 @@ def main(argv: Optional[list] = None) -> None:
     bad_epochs = 0
     it = iter(sampler)
     start_ep = int(state.step) // steps_per_epoch
+    from cmx.utils.profiling import trace
+
     for ep in range(start_ep, cfg.train.epochs):
+        profile_this = cfg.train.profile_dir and ep == start_ep + 1
         t0 = time.time()
         step_metrics = []
-        for _ in range(steps_per_epoch):
-            idx = next(it)
-            batch = shard_batch(jnp.asarray(imgs[idx]), mesh)
-            state, metrics = step_fn(state, batch)
-            step_metrics.append(metrics)  # device arrays; no per-step sync
+        with trace(cfg.train.profile_dir if profile_this else None):
+            for _ in range(steps_per_epoch):
+                idx = next(it)
+                batch = shard_batch(jnp.asarray(imgs[idx]), mesh)
+                state, metrics = step_fn(state, batch)
+                step_metrics.append(metrics)  # device arrays; no per-step sync
         # One host transfer per epoch (a float() per step forces a device
         # round-trip per step and dominates small-epoch runs).
         for m in jax.device_get(step_metrics):

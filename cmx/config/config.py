@@ -69,6 +69,7 @@ class TrainConfig:
     patience: int = 0
     val_fraction: float = 0.1
     tensorboard: bool = False
+    profile_dir: str = ""  # capture a jax.profiler trace of one epoch
 
 
 @dataclass

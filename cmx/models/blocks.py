@@ -31,19 +31,6 @@ from flax import linen as nn
 Dtype = Any
 
 
-def masked_batch_norm(
-    x: jnp.ndarray,
-    mask: Optional[jnp.ndarray],
-    *,
-    use_running_average: bool,
-    momentum: float = 0.9,
-    epsilon: float = 1e-5,
-    norm: nn.BatchNorm,
-) -> jnp.ndarray:
-    """Placeholder for API symmetry; see MaskedBatchNorm module below."""
-    raise NotImplementedError
-
-
 class MaskedBatchNorm(nn.Module):
     """BatchNorm over *active* positions only.
 

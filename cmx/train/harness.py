@@ -60,10 +60,12 @@ def _batches(n: int, batch: int, rng: Optional[np.random.Generator], pad_multipl
     idx = rng.permutation(n) if rng is not None else np.arange(n)
     for i in range(0, n, batch):
         chunk = idx[i : i + batch]
-        if len(chunk) < max(batch, pad_multiple):
-            # pad by wrapping so shapes stay static for jit
-            need = max(batch, pad_multiple)
-            chunk = np.concatenate([chunk, idx[: need - len(chunk)]])
+        need = max(batch, pad_multiple)
+        if len(chunk) < need:
+            # pad by wrapping (tiled — the dataset may be smaller than the
+            # batch, e.g. the 18-image split) so shapes stay static for jit
+            reps = (need - len(chunk) + n - 1) // n + 1
+            chunk = np.concatenate([chunk, np.tile(idx, reps)])[:need]
         yield chunk
 
 
