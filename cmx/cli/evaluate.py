@@ -33,7 +33,6 @@ def main(argv: Optional[list] = None) -> None:
     from cmx.data.synthetic import write_corpus
     from cmx.models.unet import UNet
     from cmx.train.harness import evaluate
-    from cmx.train.state import TrainState
     from cmx.train.supervised import make_eval_fn
 
     if cfg.data.synthetic or not os.path.isdir(os.path.join(cfg.data.data_dir, "imgs")):

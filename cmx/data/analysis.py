@@ -7,7 +7,7 @@ shift; kept as host-side numpy (matplotlib optional).
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, Sequence
 
 import numpy as np
 

@@ -21,7 +21,7 @@ Steps reproduced (with file:line citations to the reference):
 from __future__ import annotations
 
 import os
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import numpy as np
 

@@ -10,7 +10,7 @@ ReLU6 -> Conv3x3-BN — followed by a 1x1 projection to 1 channel.
 from __future__ import annotations
 
 import math
-from typing import Any, List, Optional, Sequence
+from typing import Any, Optional, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn

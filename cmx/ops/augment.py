@@ -14,8 +14,7 @@ All ops operate on single images (H, W) float32 unless stated; use
 
 from __future__ import annotations
 
-import functools
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -50,7 +49,6 @@ def random_resized_crop(
     (moco_data_module.py:123), CM-UNet RandomResizedCrop(256, scale=(0.2, 1))
     (configs/cmunet_config.py:49).
     """
-    h, w = img.shape[-2:] if img.ndim == 2 else img.shape[:2]
     h, w = img.shape[0], img.shape[1]
     k1, k2, k3, k4 = jax.random.split(key, 4)
     area = h * w * jax.random.uniform(k1, minval=scale[0], maxval=scale[1])

@@ -11,7 +11,7 @@ in-program collectives ride ICI.
 from __future__ import annotations
 
 import os
-from typing import Iterator, Optional
+from typing import Iterator
 
 import numpy as np
 

@@ -19,6 +19,11 @@ TPU redesign:
     computed over the full global batch (SyncBN semantics), which removes the
     per-shard information channel the shuffle existed to break. Deviation
     documented in SURVEY terms; GroupNorm is the alternative if ever needed.
+  * EMA ordering: the reference momentum-updates the key encoder BEFORE
+    computing keys each step (moco2_module.py:287-309); here the EMA runs in
+    post_update AFTER the optimizer step, so step t's keys use the EMA of
+    step t-1 — the same sequence shifted by one step (the CM-UNet hook has
+    the same property).
 """
 
 from __future__ import annotations

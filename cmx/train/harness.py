@@ -20,7 +20,7 @@ from __future__ import annotations
 import itertools
 import pickle
 import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import jax
@@ -31,8 +31,7 @@ from sklearn.model_selection import KFold
 from cmx.eval import host_metrics
 from cmx.eval.metrics import segmentation_metrics
 from cmx.models.unet import UNet
-from cmx.parallel.mesh import make_mesh, pad_to_multiple, shard_batch
-from cmx.train.optim import make_optimizer
+from cmx.parallel.mesh import make_mesh, shard_batch
 from cmx.train.state import TrainState
 from cmx.train.supervised import make_eval_fn, make_supervised_task
 from cmx.train.trainer import make_train_step

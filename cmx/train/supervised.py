@@ -8,10 +8,9 @@ momentum 0.9).
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Optional, Tuple
 
 import jax
-import jax.numpy as jnp
 
 from cmx.eval.metrics import segmentation_loss, segmentation_metrics
 from cmx.models.unet import UNet

@@ -21,7 +21,6 @@ A task is a `Task` dataclass: `loss_fn(params, state, batch, rng)` returning
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Any, Callable, Dict, Optional, Tuple
 
 import jax
@@ -29,7 +28,7 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 
-from cmx.parallel.mesh import batch_sharding, make_mesh, replicate, shard_batch
+from cmx.parallel.mesh import make_mesh, replicate, shard_batch
 from cmx.train.optim import global_grad_norm
 from cmx.train.state import TrainState
 

@@ -18,7 +18,7 @@ import os
 import sys
 import time
 from collections import defaultdict, deque
-from typing import Any, Dict, Iterable, Optional
+from typing import Dict, Iterable
 
 
 class AverageMeter:

@@ -6,7 +6,6 @@ Gracefully no-ops if tensorboard is unavailable.
 
 from __future__ import annotations
 
-from typing import Optional
 
 
 class TensorboardLogger:
