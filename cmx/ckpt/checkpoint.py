@@ -36,11 +36,19 @@ class CheckpointManager:
                 max_to_keep=max_to_keep, create=True
             ),
         )
+        # Best metric persists on disk so a RESUMED run doesn't re-save (and
+        # overwrite the historical best) on its first epoch.
+        self._best_path = os.path.join(self.directory, "best_metric.json")
         self._best = float("inf")
+        if os.path.exists(self._best_path):
+            try:
+                with open(self._best_path) as f:
+                    self._best = float(json.load(f)["best_metric"])
+            except (ValueError, KeyError, json.JSONDecodeError):
+                pass
 
     def save(self, step: int, state: TrainState, metrics: Optional[dict] = None,
              config: Optional[dict] = None, force: bool = False) -> None:
-        payload = {"state": state}
         self.mgr.save(
             step,
             args=ocp.args.Composite(
@@ -59,6 +67,8 @@ class CheckpointManager:
         if metric < self._best:
             self._best = metric
             self.save(step, state, metrics={"best_metric": metric}, **kw)
+            with open(self._best_path, "w") as f:
+                json.dump({"best_metric": metric, "step": step}, f)
             return True
         return False
 
@@ -106,6 +116,27 @@ def export_encoder(state: TrainState, path: str, prefix: str = "encoder") -> Non
     arrays = {**flatten(params, "params"), **flatten(bs, "batch_stats")}
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     np.savez(path, **arrays)
+
+
+def export_model(state: TrainState, path: str) -> None:
+    """Whole-model export: ALL params + batch_stats as one flat .npz.
+
+    The analog of the reference's whole-model `torch.save(model)`
+    (Finetuning/train.py:210-213) — enough to rebuild any model for
+    inference/vis without optimizer state or an orbax template.
+    """
+    export_encoder(
+        state.replace(params={"all": state.params},
+                      batch_stats={"all": state.batch_stats}),
+        path, prefix="all",
+    )
+
+
+def load_model_npz(path: str, params: Any, batch_stats: Any):
+    """Load an `export_model` .npz into freshly-initialized trees."""
+    new_params = load_encoder(path, {"all": params}, {"all": batch_stats},
+                              prefix="all")
+    return new_params[0]["all"], new_params[1]["all"]
 
 
 def load_encoder(path: str, params: Any, batch_stats: Any, prefix: str = "encoder"):

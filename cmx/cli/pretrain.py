@@ -71,7 +71,8 @@ def build_task(cfg: Config, dtype):
 
         model = SparKModel(mask_ratio=t.mask_ratio, full_unet=t.full_unet, dtype=dtype)
         task, _ = make_spark_task(model, augment=t.augment,
-                                  input_size=cfg.data.image_size)
+                                  input_size=cfg.data.image_size,
+                                  pallas_loss=t.pallas_loss)
         def init(key, x):
             f = x.shape[1] // 16
             active = spark_active_mask(key, 1, f, t.mask_ratio)
@@ -198,7 +199,7 @@ def main(argv: Optional[list] = None) -> None:
     # epoch recompiles against the step's output shardings.
     state = replicate(state, mesh)
 
-    from cmx.ckpt.checkpoint import CheckpointManager, export_encoder
+    from cmx.ckpt.checkpoint import CheckpointManager, export_encoder, export_model
 
     ckpt_dir = os.path.join(cfg.train.ckpt_dir, cfg.task.name)
     mgr = CheckpointManager(ckpt_dir)
@@ -221,6 +222,8 @@ def main(argv: Optional[list] = None) -> None:
     # Genesis-style validation slice + early stopping (patience 50 in the
     # reference config; off by default here).
     val_imgs = None
+    moco_validate = None
+    val_queue = None
     if cfg.train.patience > 0 and imgs.shape[0] > 4:
         n_val = max(per_host_batch, int(imgs.shape[0] * cfg.train.val_fraction))
         n_val = min(n_val, imgs.shape[0] // 2)
@@ -231,10 +234,25 @@ def main(argv: Optional[list] = None) -> None:
         )
         steps_per_epoch = sampler.iters_per_epoch
 
-        @jax.jit
-        def val_loss_fn(state, batch, key):
-            loss, _ = task.loss_fn(state.params, state, batch, key)
-            return loss
+        if cfg.task.name == "moco":
+            # MoCo validates against a SEPARATE negatives queue with
+            # precision@1/5, like the reference's validation_step
+            # (moco2_module.py:311-336) — not a generic train-loss replay.
+            from cmx.ssl.moco import init_val_queue, make_moco_validate
+
+            moco_validate = make_moco_validate(
+                model, temperature=cfg.task.temperature,
+                view_size=cfg.task.view_size, augment=cfg.task.augment,
+            )
+            val_queue = init_val_queue(
+                jax.random.fold_in(root_key, 97), cfg.task.num_negatives
+            )
+        else:
+
+            @jax.jit
+            def val_loss_fn(state, batch, key):
+                loss, _ = task.loss_fn(state.params, state, batch, key)
+                return loss
 
     best_val = float("inf")
     bad_epochs = 0
@@ -263,16 +281,30 @@ def main(argv: Optional[list] = None) -> None:
 
         if val_imgs is not None:
             vb = val_imgs[: (len(val_imgs) // per_host_batch) * per_host_batch]
-            vlosses = [
-                float(val_loss_fn(
-                    state,
-                    shard_batch(jnp.asarray(vb[i : i + per_host_batch]), mesh),
-                    jax.random.fold_in(jax.random.key(cfg.train.seed), ep),
-                ))
-                for i in range(0, len(vb), per_host_batch)
-            ]
-            vloss = float(np.mean(vlosses))
-            epoch_metrics["val_loss"] = vloss
+            if moco_validate is not None:
+                vms = []
+                for i in range(0, len(vb), per_host_batch):
+                    m, val_queue = moco_validate(
+                        state, val_queue,
+                        shard_batch(jnp.asarray(vb[i : i + per_host_batch]), mesh),
+                        jax.random.fold_in(jax.random.key(cfg.train.seed), ep * 10_000 + i),
+                    )
+                    vms.append(m)
+                vms = jax.device_get(vms)
+                for k in ("val_loss", "val_acc1", "val_acc5"):
+                    epoch_metrics[k] = float(np.mean([m[k] for m in vms]))
+                vloss = epoch_metrics["val_loss"]
+            else:
+                vlosses = [
+                    float(val_loss_fn(
+                        state,
+                        shard_batch(jnp.asarray(vb[i : i + per_host_batch]), mesh),
+                        jax.random.fold_in(jax.random.key(cfg.train.seed), ep),
+                    ))
+                    for i in range(0, len(vb), per_host_batch)
+                ]
+                vloss = float(np.mean(vlosses))
+                epoch_metrics["val_loss"] = vloss
             if vloss < best_val:
                 best_val = vloss
                 bad_epochs = 0
@@ -292,6 +324,7 @@ def main(argv: Optional[list] = None) -> None:
         if cfg.train.save_every_epoch or ep == cfg.train.epochs - 1:
             mgr.save(int(state.step), state, config=to_dict(cfg))
     export_encoder(state, os.path.join(ckpt_dir, "encoder.npz"))
+    export_model(state, os.path.join(ckpt_dir, "model.npz"))
     if tb is not None:
         tb.close()
     mgr.close()

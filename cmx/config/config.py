@@ -83,6 +83,9 @@ class TaskConfig:
     view_size: int = 224
     full_unet: bool = True
     augment: bool = True
+    # SparK: fused Pallas loss tail (cmx.ops.pallas_ops); A/B'd on TPU in
+    # RESULTS.md round 2. Interpret-mode on CPU, compiled on TPU.
+    pallas_loss: bool = False
 
 
 @dataclass

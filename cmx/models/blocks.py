@@ -83,9 +83,17 @@ class MaskedBatchNorm(nn.Module):
                 ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
                 ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
 
-        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.epsilon)
-        y = y * scale + bias
-        return y.astype(self.dtype or x.dtype)
+        # Normalize as ONE fused multiply-add in the compute dtype: the
+        # per-channel inv/shift are folded in fp32 (cheap, (C,)-sized), the
+        # (B,H,W,C) math runs in `dtype`. In bf16 this halves the HBM traffic
+        # of the normalize chain fwd+bwd vs materializing fp32 intermediates;
+        # it matches the reference's AMP training precision (CM-UNet
+        # AmpOptimWrapper, cmunet_config.py:76-78). With dtype=fp32 it equals
+        # the textbook form up to one fp32 rounding (folded constants).
+        out_dtype = self.dtype or x.dtype
+        inv = jax.lax.rsqrt(var + self.epsilon) * scale
+        shift = bias - mean * inv
+        return x.astype(out_dtype) * inv.astype(out_dtype) + shift.astype(out_dtype)
 
 
 class DoubleConv(nn.Module):

@@ -65,8 +65,11 @@ class UNetEncoder(nn.Module):
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None):
         x = _ensure_nhwc(x).astype(self.dtype)
         if mask is not None:
-            mask = _ensure_nhwc(mask)
-            x = x * mask.astype(x.dtype)
+            # Keep the active map in the compute dtype: 0/1 are exact in
+            # bf16 and the (B,H,W,1) mask is re-read at every conv/BN stage —
+            # fp32 storage would double that traffic.
+            mask = _ensure_nhwc(mask).astype(self.dtype)
+            x = x * mask
         skips = []
         for i, w in enumerate(self.widths):
             x, skip = DownBlock(
@@ -79,7 +82,7 @@ class UNetEncoder(nn.Module):
             if mask is not None:
                 # Active map follows the maxpool downsampling exactly: a 2x2
                 # output position is active iff any contributing input was.
-                mask = max_pool_2x2(mask.astype(jnp.float32))
+                mask = max_pool_2x2(mask)
         x = DoubleConv(
             self.bottleneck,
             dtype=self.dtype,

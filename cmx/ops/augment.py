@@ -224,44 +224,111 @@ def random_brightness_contrast(
     contrast_limit: float = 0.2,
     p: float = 1.0,
 ) -> jnp.ndarray:
-    """albumentations RandomBrightnessContrast semantics on float images:
-    img * (1 + contrast) + brightness * mean-ish scale."""
+    """albumentations RandomBrightnessContrast on float images:
+    out = img * (1 + contrast) + brightness, with brightness added directly
+    (albumentations' brightness_by_max scales beta by MAX_VALUES_BY_DTYPE,
+    which is 1.0 for float32)."""
     kp, kb, kc = jax.random.split(key, 3)
     alpha = 1.0 + jax.random.uniform(kc, minval=-contrast_limit, maxval=contrast_limit)
     beta = jax.random.uniform(kb, minval=-brightness_limit, maxval=brightness_limit)
-    out = img * alpha + beta * jnp.mean(jnp.abs(img))
+    out = img * alpha + beta
     return jnp.where(jax.random.uniform(kp) < p, out, img)
+
+
+def _down_up(img: jnp.ndarray, scale: float) -> jnp.ndarray:
+    h, w = img.shape[0], img.shape[1]
+    lh, lw = max(int(h * scale), 1), max(int(w * scale), 1)
+    small = jax.image.resize(img, (lh, lw), method="nearest")
+    return jax.image.resize(small, (h, w), method="nearest")
 
 
 def downscale(key: jax.Array, img: jnp.ndarray, scale: float = 0.25, p: float = 1.0) -> jnp.ndarray:
     """Quality-loss aug: resize down by `scale` then back up (nearest), like
-    albumentations Downscale (default scale 0.25) in Finetuning/dataset.py."""
-    h, w = img.shape[0], img.shape[1]
-    lh, lw = max(int(h * scale), 1), max(int(w * scale), 1)
-    small = jax.image.resize(img, (lh, lw), method="nearest")
-    up = jax.image.resize(small, (h, w), method="nearest")
-    return jnp.where(jax.random.uniform(key) < p, up, img)
+    albumentations Downscale in Finetuning/dataset.py."""
+    return jnp.where(jax.random.uniform(key) < p, _down_up(img, scale), img)
+
+
+def downscale_random(
+    key: jax.Array, img: jnp.ndarray,
+    scale_range: Tuple[float, float] = (0.5, 1.0), p: float = 1.0,
+    n_levels: int = 6,
+) -> jnp.ndarray:
+    """albumentations Downscale(scale_min, scale_max): random quality loss.
+
+    A continuous random scale would need dynamic shapes (unjittable) or a
+    full-image gather (~110 ms/batch on this TPU); instead the scale range is
+    quantized to `n_levels` static levels chosen by lax.switch — each branch
+    is two static nearest resizes. Deviation (discretized scale distribution)
+    noted in PARITY.md.
+    """
+    kp, kl = jax.random.split(key)
+    lvl = jax.random.randint(kl, (), 0, n_levels)
+    scales = [
+        scale_range[0] + (scale_range[1] - scale_range[0]) * i / (n_levels - 1)
+        for i in range(n_levels)
+    ]
+
+    def branch(s):
+        if s >= 1.0:
+            return lambda x: x
+        return lambda x: _down_up(x, s)
+
+    out = jax.lax.switch(lvl, [branch(s) for s in scales], img)
+    return jnp.where(jax.random.uniform(kp) < p, out, img)
 
 
 # ---------------------------------------------------------------- pipelines
+
+
+def _albumentations_gauss_noise(
+    key: jax.Array, img: jnp.ndarray,
+    var_limit: Tuple[float, float] = (10.0, 50.0), p: float = 1.0,
+) -> jnp.ndarray:
+    """albumentations GaussNoise(var_limit): sigma = sqrt(U(var_limit)),
+    added to the pixel values AS-IS regardless of dtype — on the reference's
+    z-scored float images that means sigma ~ U(3.16, 7.07), i.e. noise several
+    times the signal std. Faithful to the reference's actual behavior
+    (Finetuning/dataset.py:147 applies it to Intensity_normalizer output);
+    the magnitude looks extreme but p is low."""
+    kp, kv, kn = jax.random.split(key, 3)
+    var = jax.random.uniform(kv, minval=var_limit[0], maxval=var_limit[1])
+    noisy = img + jnp.sqrt(var) * jax.random.normal(kn, img.shape, jnp.float32)
+    return jnp.where(jax.random.uniform(kp) < p, noisy, img)
 
 
 def finetune_train_aug(key: jax.Array, img: jnp.ndarray, mask: jnp.ndarray):
     """The supervised fine-tune augmentation chain
     (Finetuning/dataset.py:134-163), applied on the 256-cached pair.
 
-    Reference order: RandomCrop(475) [identity on 475x475 originals] ->
-    GaussNoise p.1 -> GaussianBlur p.2 -> BrightnessContrast p.15 ->
-    Downscale p.25 -> OneOf{HFlip, VFlip, Rotate90, GaussNoise} p.75.
-    Geometric ops are applied to image and mask jointly; intensity ops to the
-    image only. (Deviation: the reference augments at 475 then resizes; we
-    augment the 256 cache — same distribution up to resampling order.)
+    Reference order and EXACT albumentations parameters:
+      RandomCrop(475)                      [identity on 475x475 originals]
+      GaussNoise(var_limit=(10, 50), p=.1) -> sigma = sqrt(U(10, 50)),
+                                             applied to float values as-is
+      GaussianBlur(blur_limit=(5, 11), sigma_limit=(.5, 1), p=.2)
+                                           -> sigma U(.5, 1); static radius 5
+                                             (an 11-tap kernel; smaller odd
+                                             kernel sizes differ only in the
+                                             <1e-3 tail at sigma <= 1)
+      RandomBrightnessContrast(brightness_limit=.25, contrast_limit=.2
+                                [albumentations default], p=.15)
+                                           -> img*(1+c) + b, b in +-.25
+                                             (albumentations adds beta
+                                             directly for float images)
+      Downscale(scale_min=.5, scale_max=1, p=.25) -> discretized scale levels
+      OneOf{HFlip, VFlip, Rotate90, GaussNoise(var (10, 50))} p=.75
+
+    Geometric ops apply to image and mask jointly; intensity ops to the image
+    only. Deviation: the reference augments at 475 then resizes to 256; we
+    augment the 256 cache — same distribution up to resampling order
+    (flagged in PARITY.md).
     """
     ks = jax.random.split(key, 6)
-    img = gaussian_noise(ks[0], img, sigma=0.05, p=0.1)
-    img = gaussian_blur(ks[1], img, sigma_range=(0.3, 1.5), radius=3, p=0.2)
-    img = random_brightness_contrast(ks[2], img, p=0.15)
-    img = downscale(ks[3], img, scale=0.25, p=0.25)
+    img = _albumentations_gauss_noise(ks[0], img, (10.0, 50.0), p=0.1)
+    img = gaussian_blur(ks[1], img, sigma_range=(0.5, 1.0), radius=5, p=0.2)
+    img = random_brightness_contrast(
+        ks[2], img, brightness_limit=0.25, contrast_limit=0.2, p=0.15
+    )
+    img = downscale_random(ks[3], img, scale_range=(0.5, 1.0), p=0.25)
 
     # OneOf with p=0.75: pick one of 4 branches uniformly.
     do = jax.random.uniform(ks[4]) < 0.75
@@ -275,7 +342,10 @@ def finetune_train_aug(key: jax.Array, img: jnp.ndarray, mask: jnp.ndarray):
                 lambda a, b: (jnp.flip(a, axis=1), jnp.flip(b, axis=1)),
                 lambda a, b: (jnp.flip(a, axis=0), jnp.flip(b, axis=0)),
                 lambda a, b: (jnp.rot90(a), jnp.rot90(b)),
-                lambda a, b: (a + 0.05 * jax.random.normal(kb, a.shape), b),
+                lambda a, b: (
+                    _albumentations_gauss_noise(kb, a, (10.0, 50.0), p=1.0),
+                    b,
+                ),
             ],
             im,
             mk,

@@ -113,6 +113,75 @@ def translate(
     return jnp.where(jax.random.uniform(kp) < p, out, img)
 
 
+def dual_resized_crop(
+    key: jax.Array,
+    img: jnp.ndarray,
+    size: int,
+    second_size: int,
+    scale: Tuple[float, float] = (0.08, 1.0),
+    ratio: Tuple[float, float] = (3 / 4, 4 / 3),
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """BEiT-style RandomResizedCropAndInterpolationWithTwoPic
+    (/root/reference/.../pipelines/processing.py:130-254): sample ONE crop
+    window, resize it to two different sizes (the BEiT student/tokenizer dual
+    view). Interpolation: linear for both (the reference defaults to
+    bilinear + lanczos; lanczos is unavailable in jax.image — deviation
+    noted in PARITY.md)."""
+    h, w = img.shape[0], img.shape[1]
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    area = h * w * jax.random.uniform(k1, minval=scale[0], maxval=scale[1])
+    log_r = jax.random.uniform(k2, minval=jnp.log(ratio[0]), maxval=jnp.log(ratio[1]))
+    aspect = jnp.exp(log_r)
+    cw = jnp.clip(jnp.sqrt(area * aspect), 1.0, w)
+    ch = jnp.clip(jnp.sqrt(area / aspect), 1.0, h)
+    y0 = jax.random.uniform(k3) * (h - ch)
+    x0 = jax.random.uniform(k4) * (w - cw)
+    img3 = img[..., None] if img.ndim == 2 else img
+
+    def crop_to(out_size):
+        sy, sx = out_size / ch, out_size / cw
+        out = jax.image.scale_and_translate(
+            img3.astype(jnp.float32),
+            (out_size, out_size, img3.shape[-1]),
+            (0, 1),
+            jnp.stack([sy, sx]),
+            jnp.stack([-y0 * sy, -x0 * sx]),
+            method="linear",
+            antialias=True,
+        )
+        return out[..., 0] if img.ndim == 2 else out
+
+    return crop_to(size), crop_to(second_size)
+
+
+def random_crop_padded(
+    key: jax.Array,
+    img: jnp.ndarray,
+    crop_size: int,
+    padding: int = 0,
+    pad_if_needed: bool = True,
+    pad_val: float = 0.0,
+) -> jnp.ndarray:
+    """mmcls-style RandomCrop (/root/reference/.../pipelines/
+    processing.py:257-397): optional fixed padding, pad-to-fit if the image
+    is smaller than the crop, then a uniformly random crop window
+    (constant-fill padding mode only — the entry configs never use the
+    reflect/edge modes; deviation noted in PARITY.md)."""
+    if padding:
+        img = jnp.pad(img, padding, mode="constant", constant_values=pad_val)
+    h, w = img.shape[0], img.shape[1]
+    if pad_if_needed and (h < crop_size or w < crop_size):
+        ph = max(crop_size - h, 0)
+        pw = max(crop_size - w, 0)
+        img = jnp.pad(img, ((ph, ph), (pw, pw)), mode="constant",
+                      constant_values=pad_val)
+        h, w = img.shape[0], img.shape[1]
+    ky, kx = jax.random.split(key)
+    y0 = jax.random.randint(ky, (), 0, max(h - crop_size, 0) + 1)
+    x0 = jax.random.randint(kx, (), 0, max(w - crop_size, 0) + 1)
+    return jax.lax.dynamic_slice(img, (y0, x0), (crop_size, crop_size))
+
+
 def multi_view(
     key: jax.Array,
     img: jnp.ndarray,

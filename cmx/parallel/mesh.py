@@ -39,8 +39,23 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: Any, mesh: Mesh, axis: str = DATA_AXIS) -> Any:
-    """Device-put a pytree of host arrays with batch-dim sharding."""
+    """Device-put a pytree of host arrays with batch-dim sharding.
+
+    Single-process: plain `device_put` against the global sharding.
+    Multi-process (jax.distributed): each host holds only its sampler shard
+    (cli/pretrain.py divides the batch by world size, like the reference's
+    DistInfiniteBatchSampler rank slice, Spark/sampler.py:21-67), so the
+    global array must be ASSEMBLED from per-process shards —
+    `jax.make_array_from_process_local_data`. `device_put` with a global
+    NamedSharding would treat each host's local batch as the whole global
+    batch and desync the hosts.
+    """
     sh = batch_sharding(mesh, axis)
+    if jax.process_count() > 1:
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+            batch,
+        )
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 

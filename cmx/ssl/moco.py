@@ -121,8 +121,17 @@ def make_moco_task(
         keys = aux.updates["keys"]
         bs = keys.shape[0]
         ptr = extra["queue_ptr"]
-        # ring-buffer enqueue; K must divide by global batch
-        # (assert at moco2_module.py:169)
+        # Ring-buffer enqueue. dynamic_update_slice CLAMPS the start index
+        # when ptr + bs > K while the pointer wraps with mod, so the queue and
+        # pointer would silently drift apart — require divisibility, like the
+        # reference's assert (moco2_module.py:169). Raised at trace time
+        # (shapes are static), so misconfiguration fails fast, not silently.
+        if num_negatives % bs != 0:
+            raise ValueError(
+                f"MoCo queue size ({num_negatives}) must be divisible by the "
+                f"global batch ({bs}); the ring-buffer enqueue would clamp at "
+                "the wraparound and corrupt the queue (moco2_module.py:169)."
+            )
         queue = jax.lax.dynamic_update_slice(extra["queue"], keys, (ptr, 0))
         new_ptr = jnp.mod(ptr + bs, num_negatives).astype(jnp.int32)
         return {
@@ -184,6 +193,11 @@ def make_moco_validate(
         acc1 = jnp.mean((top5[:, 0] == 0).astype(jnp.float32))
         acc5 = jnp.mean(jnp.any(top5 == 0, axis=1).astype(jnp.float32))
         K = val_queue["queue"].shape[0]
+        if K % k.shape[0] != 0:
+            raise ValueError(
+                f"val queue size ({K}) must be divisible by the batch "
+                f"({k.shape[0]}) — see make_moco_task's wraparound note."
+            )
         new_q = jax.lax.dynamic_update_slice(
             val_queue["queue"], k, (val_queue["queue_ptr"], 0)
         )

@@ -148,7 +148,12 @@ def make_spark_task(
     mask_ratio: float = 0.6,
     augment: bool = True,
     input_size: int = 256,
+    pallas_loss: bool = False,
 ) -> Tuple[Task, SparKModel]:
+    """pallas_loss=True swaps the jnp loss tail for the fused Pallas kernel
+    (cmx.ops.pallas_ops.spark_loss_pallas_trainable) — numerics verified
+    compiled-on-TPU against the jnp path (tests/test_pallas_ops.py +
+    RESULTS.md round-2 A/B)."""
     model = model or SparKModel(mask_ratio=mask_ratio)
 
     def loss_fn(params, state, batch, rng):
@@ -166,7 +171,14 @@ def make_spark_task(
             active,
             mutable=["batch_stats"],
         )
-        loss = spark_loss(rec, imgs, active)
+        if pallas_loss:
+            from cmx.ops.pallas_ops import spark_loss_pallas_trainable
+
+            loss = spark_loss_pallas_trainable(
+                rec, jax.lax.stop_gradient(imgs), active, DOWNSAMPLE_RATIO
+            )
+        else:
+            loss = spark_loss(rec, imgs, active)
         return loss, TaskAux(batch_stats=mut["batch_stats"], metrics={"recon": loss})
 
     return Task(name="spark", loss_fn=loss_fn), model

@@ -91,9 +91,9 @@ class _Runner:
 
         self.model = model or UNet(out_classes=2)
         self.task, _ = make_supervised_task(self.model, augment=augment)
-        self.tx = optax.inject_hyperparams(optax.sgd)(
-            learning_rate=1e-3, momentum=0.9
-        )
+        # Adam, like the reference's fine-tune (Finetuning/train.py:341 and
+        # 389 — torch.optim.Adam; the lr grid 1e-2..1e-5 was tuned for it).
+        self.tx = optax.inject_hyperparams(optax.adam)(learning_rate=1e-3)
         self.step = make_train_step(self.task, self.tx, donate=False)
         self.eval_fn = make_eval_fn(self.model)
 
@@ -111,8 +111,23 @@ class _Runner:
 _RUNNERS: Dict[Any, _Runner] = {}
 
 
+def _model_key(model: Optional[UNet]):
+    """Semantic cache key: the hyperparameters that change the compiled step.
+
+    (id(model) would alias a dead model's compiled step to a new model that
+    recycled its id.)"""
+    if model is None:
+        return None
+    return (
+        type(model).__name__,
+        model.out_classes,
+        model.up_sample_mode,
+        str(model.dtype),
+    )
+
+
 def get_runner(model: Optional[UNet] = None, augment: bool = True) -> _Runner:
-    key = (id(model) if model is not None else None, augment)
+    key = (_model_key(model), augment)
     if key not in _RUNNERS:
         _RUNNERS[key] = _Runner(model, augment)
     return _RUNNERS[key]
@@ -184,8 +199,8 @@ def fit(
 ) -> FitResult:
     """One supervised fine-tune run (the reference's `train`, train.py:193-214).
 
-    SGD(lr, momentum .9) like Finetuning/train.py:347; per-epoch valid
-    metrics; best state kept by dice_loss.
+    Adam(lr) like Finetuning/train.py:341/389; per-epoch valid metrics; best
+    state kept by dice_loss.
     """
     t0 = time.time()
     runner = get_runner(model, augment)

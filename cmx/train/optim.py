@@ -108,3 +108,55 @@ def make_optimizer(
 def global_grad_norm(grads: Any) -> jnp.ndarray:
     """The `global_grad_norm` the SparK loop logs (lamb.py exposes it)."""
     return optax.global_norm(grads)
+
+
+def unet_layer_id(path_name: str, num_layers: int) -> int:
+    """Depth index of a UNet param for layer-wise lr decay.
+
+    The reference constructor maps vit/swin block names to layer ids
+    (cmae/core/optimizer/optimizer.py:98-239, get_layer_id_for_vit at
+    119-139); this is the UNet-stage analog: encoder stages 0..4 (down1..4,
+    bottleneck), everything else (decoder/neck/head) = num_layers (full lr).
+    """
+    for i in range(1, 5):
+        if f"down{i}" in path_name:
+            return i - 1
+    if "bottleneck" in path_name:
+        return 4
+    return num_layers
+
+
+def layer_lr_decay_scales(
+    params: Any, decay_rate: float, num_layers: int = 5,
+    layer_fn: Callable[[str, int], int] = unet_layer_id,
+) -> Any:
+    """Per-param lr multipliers: decay_rate ** (num_layers - layer_id).
+
+    Semantics of LearningRateDecayOptimWrapperConstructor
+    (cmae/core/optimizer/optimizer.py:141-239): earlier (closer-to-input)
+    layers get geometrically smaller learning rates — standard for
+    fine-tuning a pretrained encoder.
+    """
+    def scale(path, p):
+        name = "/".join(str(k.key) if hasattr(k, "key") else str(k) for k in path)
+        lid = layer_fn(name, num_layers)
+        return jnp.asarray(decay_rate ** (num_layers - lid), jnp.float32)
+
+    return jax.tree_util.tree_map_with_path(scale, params)
+
+
+def scale_by_layer_decay(
+    params_example: Any, decay_rate: float, num_layers: int = 5,
+    layer_fn: Callable[[str, int], int] = unet_layer_id,
+) -> optax.GradientTransformation:
+    """optax transform applying layer-wise lr decay; chain AFTER the base
+    optimizer: optax.chain(make_optimizer(...), scale_by_layer_decay(...))."""
+    scales = layer_lr_decay_scales(params_example, decay_rate, num_layers, layer_fn)
+
+    def init_fn(params):
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        return jax.tree.map(lambda u, s: u * s, updates, scales), state
+
+    return optax.GradientTransformation(init_fn, update_fn)

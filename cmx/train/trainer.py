@@ -89,7 +89,14 @@ def make_train_step(task: Task, tx: optax.GradientTransformation, donate: bool =
             opt_state=new_opt_state,
         )
         if task.post_update is not None:
-            state = state.replace(extra=task.post_update(state, aux))
+            # The NaN guard must also cover task state: MoCo would otherwise
+            # enqueue this step's NaN keys / absorb NaN target BN stats,
+            # poisoning every later step while the guard silently skips them.
+            new_extra = task.post_update(state, aux)
+            new_extra = jax.tree.map(
+                lambda new, old: jnp.where(finite, new, old), new_extra, state.extra
+            )
+            state = state.replace(extra=new_extra)
 
         metrics = dict(aux.metrics)
         metrics["loss"] = loss

@@ -115,15 +115,56 @@ class MetricLogger:
         self.print_fn(f"{header} done in {datetime.timedelta(seconds=int(total))}")
 
 
+_GIT_INFO = None
+
+
+def git_info() -> Dict[str, str]:
+    """Current commit id + message, cached (arg_util.py:56-57 analog).
+
+    Empty dict outside a git repo or without git."""
+    global _GIT_INFO
+    if _GIT_INFO is None:
+        import subprocess
+
+        try:
+            cwd = os.path.dirname(os.path.abspath(__file__))
+            cid = subprocess.run(
+                ["git", "rev-parse", "HEAD"], capture_output=True, text=True,
+                cwd=cwd, timeout=5,
+            )
+            msg = subprocess.run(
+                ["git", "log", "-1", "--format=%s"], capture_output=True,
+                text=True, cwd=cwd, timeout=5,
+            )
+            if cid.returncode == 0:
+                _GIT_INFO = {
+                    "commit_id": cid.stdout.strip(),
+                    "commit_msg": msg.stdout.strip(),
+                }
+            else:
+                _GIT_INFO = {}
+        except (OSError, subprocess.SubprocessError):
+            _GIT_INFO = {}
+    return _GIT_INFO
+
+
 class JsonlLogger:
-    """Append-a-JSON-object-per-epoch log (Spark/utils/arg_util.py:74-93)."""
+    """Append-a-JSON-object-per-epoch log (Spark/utils/arg_util.py:74-93).
+
+    The first record of every run carries the git commit id + message
+    (arg_util.py:56-57), so results stay traceable to code versions."""
 
     def __init__(self, path: str):
         self.path = path
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        self._stamped = False
 
     def write(self, **fields):
         fields.setdefault("time", datetime.datetime.now().isoformat())
+        if not self._stamped:
+            for k, v in git_info().items():
+                fields.setdefault(k, v)
+            self._stamped = True
         with open(self.path, "a") as f:
             f.write(json.dumps(fields, default=str) + "\n")
 

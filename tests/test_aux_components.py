@@ -121,3 +121,66 @@ def test_metric_logger_log_every(capsys):
         lg.update(loss=float(x))
     out = capsys.readouterr().out
     assert "t [0]" in out and "done in" in out
+
+
+def test_layer_lr_decay_scales_and_transform():
+    """Layer-wise lr decay (cmae/core/optimizer/optimizer.py:141-239 analog):
+    earlier encoder stages get geometrically smaller update scales."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+
+    from cmx.train.optim import layer_lr_decay_scales, scale_by_layer_decay
+
+    params = {
+        "encoder": {
+            "down1": {"conv": jnp.ones((3, 3))},
+            "down4": {"conv": jnp.ones((3, 3))},
+            "bottleneck": {"conv": jnp.ones((3, 3))},
+        },
+        "decoder": {"head": {"kernel": jnp.ones((3, 3))}},
+    }
+    scales = layer_lr_decay_scales(params, decay_rate=0.5, num_layers=5)
+    assert float(scales["encoder"]["down1"]["conv"]) == 0.5**5
+    assert float(scales["encoder"]["down4"]["conv"]) == 0.5**2
+    assert float(scales["encoder"]["bottleneck"]["conv"]) == 0.5**1
+    assert float(scales["decoder"]["head"]["kernel"]) == 1.0
+
+    tx = optax.chain(optax.sgd(1.0), scale_by_layer_decay(params, 0.5))
+    st = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    ups, _ = tx.update(grads, st, params)
+    np.testing.assert_allclose(
+        np.asarray(ups["encoder"]["down1"]["conv"]), -(0.5**5), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(ups["decoder"]["head"]["kernel"]), -1.0, rtol=1e-6
+    )
+
+
+def test_center_histograms_and_ridgeline(tmp_path):
+    """Per-hospital distribution analysis + ridgeline plot
+    (data_processing/utils.py:34-116)."""
+    import numpy as np
+
+    from cmx.data.analysis import (
+        center_mean_histograms, group_by_center, ridgeline,
+    )
+
+    rng = np.random.default_rng(0)
+    keyed = {
+        f"{h:02d}-{i}": rng.normal(h * 0.5, 1, (16, 16))
+        for h in range(3) for i in range(4)
+    }
+    groups = group_by_center(keyed)
+    assert list(groups) == ["00", "01", "02"]
+    hists = center_mean_histograms(keyed, bins=32)
+    assert all(v.shape == (32,) for v in hists.values())
+    # shifted centers -> histogram mass shifts right
+    assert np.argmax(hists["02"]) >= np.argmax(hists["00"])
+    try:
+        ridgeline(hists, save_path=str(tmp_path / "ridge.png"))
+        assert (tmp_path / "ridge.png").exists()
+    except ImportError:
+        pass  # matplotlib optional

@@ -93,6 +93,22 @@ def test_linear_probe_separates_easy_features(rng):
     assert lb.shape == (10,) and lb.max() <= 3
 
 
+def test_mlp_probe_separates_nonlinear_features(rng):
+    """SSLEvaluator MLP variant (evaluator.py:16-23): hidden layer + dropout
+    solves an XOR-style task the linear probe cannot."""
+    from cmx.ssl.linear_probe import probe
+
+    rng = np.random.default_rng(0)  # pinned: XOR probe quality is seed-noisy
+    n = 256
+    xy = rng.normal(size=(n, 2)).astype(np.float32)
+    labels = ((xy[:, 0] > 0) ^ (xy[:, 1] > 0)).astype(np.int32)  # XOR
+    feats = np.concatenate([xy, rng.normal(size=(n, 6)).astype(np.float32) * 0.1], 1)
+    lin = probe(feats, labels, hidden_dim=None, dropout=0.0, steps=400)
+    mlp = probe(feats, labels, hidden_dim=64, dropout=0.1, steps=800, lr=5e-3)
+    assert mlp["test_acc"] > 0.85, (lin, mlp)
+    assert mlp["test_acc"] > lin["test_acc"] + 0.15, (lin, mlp)
+
+
 def test_apis_init_and_inference(rng):
     from cmx.apis import inference_model, init_model
 
