@@ -16,6 +16,7 @@ value / (5 * 250) — 1.0 means the 5x-A100 target is met. The estimate and
 formula are fixed here so round-over-round comparisons are apples-to-apples.
 """
 
+import argparse
 import json
 import time
 
@@ -30,6 +31,82 @@ BATCH = 128  # larger batch -> better MXU utilization (32 -> 128 = +35%)
 SIZE = 256
 WARMUP_STEPS = 5
 BENCH_STEPS = 16
+
+
+def _time_step(step, state, batch, n=BENCH_STEPS, warmup=WARMUP_STEPS):
+    """Best-of-3 n-step loops, synced by host transfer (block_until_ready is
+    not a reliable barrier through the axon tunnel)."""
+    metrics = None
+    for _ in range(warmup):
+        _, metrics = step(state, batch)
+    float(metrics["loss"])
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            _, metrics = step(state, batch)
+        float(metrics["loss"])
+        best = min(best, time.perf_counter() - t0)
+    return best / n
+
+
+def bench_all(out_path: str = "BENCH_ALL.json"):
+    """Throughput for every training regime (BASELINE.json names
+    '(SparK, MoCo)'; RESULTS.md cites the rest). Writes one JSON file."""
+    from cmx.config.config import Config
+    from cmx.cli.pretrain import build_task
+    from cmx.train.optim import make_optimizer
+    from cmx.train.state import TrainState
+    from cmx.train.trainer import make_train_step
+    from cmx.train.supervised import make_supervised_task
+    from cmx.models.unet import UNet
+
+    n_chips = jax.device_count()
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.normal(size=(BATCH, SIZE, SIZE)).astype(np.float32))
+    results = {}
+
+    for name in ("spark", "moco", "mae", "genesis", "cmunet"):
+        cfg = Config()
+        cfg.task.name = name
+        cfg.data.image_size = SIZE
+        task, model, init_fn, extra_fn = build_task(cfg, jnp.bfloat16)
+        k = jax.random.key(0)
+        variables = init_fn(k, imgs[:1])
+        extra = extra_fn(jax.random.key(1), variables) if extra_fn else None
+        tx = make_optimizer("lamb" if name == "spark" else "adamw", 2e-4,
+                            weight_decay=0.04, clip_norm=5.0,
+                            params_example=variables["params"])
+        state = TrainState.create(params=variables["params"],
+                                  batch_stats=variables["batch_stats"],
+                                  tx=tx, extra=extra, rng=jax.random.key(2))
+        step = make_train_step(task, tx, donate=False)
+        dt = _time_step(step, state, imgs)
+        results[name] = round(BATCH / dt / n_chips, 2)
+        print(f"# {name}: {results[name]} img/s/chip", flush=True)
+
+    # supervised fine-tune step (Dice+CE, augmented)
+    model = UNet(out_classes=2, dtype=jnp.bfloat16)
+    task, _ = make_supervised_task(model, augment=True)
+    variables = model.init(jax.random.key(0), imgs[:1])
+    tx = make_optimizer("adamw", 1e-3, params_example=variables["params"])
+    state = TrainState.create(params=variables["params"],
+                              batch_stats=variables["batch_stats"], tx=tx,
+                              rng=jax.random.key(2))
+    step = make_train_step(task, tx, donate=False)
+    masks = jnp.stack([jnp.ones((BATCH, SIZE, SIZE)),
+                       jnp.zeros((BATCH, SIZE, SIZE))], axis=-1)
+    dt = _time_step(step, state, (imgs, masks))
+    results["supervised"] = round(BATCH / dt / n_chips, 2)
+    print(f"# supervised: {results['supervised']} img/s/chip", flush=True)
+
+    payload = {
+        "unit": "images/sec/chip", "batch": BATCH, "size": SIZE,
+        "n_chips": n_chips, "regimes": results,
+    }
+    with open(out_path, "w") as f:
+        json.dump(payload, f, indent=2)
+    print(json.dumps(payload))
 
 
 def main():
@@ -81,4 +158,12 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--all", action="store_true",
+                    help="bench every regime, write BENCH_ALL.json "
+                         "(default: SparK only, one JSON line on stdout)")
+    cli = ap.parse_args()
+    if cli.all:
+        bench_all()
+    else:
+        main()

@@ -68,7 +68,12 @@ def main(argv: Optional[list] = None) -> None:
         print(f"loaded pretrained encoder from {args.pretrained}")
 
     os.makedirs(args.out, exist_ok=True)
-    tag = os.path.basename(args.pretrained).split(".")[0] if args.pretrained else "None"
+    tag = "None"
+    if args.pretrained:
+        tag = os.path.basename(args.pretrained).split(".")[0]
+        if tag in ("encoder", "model"):  # generic export name: use the
+            # checkpoint dir (the task name) so results don't collide
+            tag = os.path.basename(os.path.dirname(os.path.abspath(args.pretrained))) or tag
     lr, bs_, eps, results = grid_search(
         ft_imgs, ft_masks,
         lrs=args.lrs, epochs_grid=args.epochs, batches=args.batches,

@@ -210,6 +210,11 @@ def main(argv: Optional[list] = None) -> None:
         state = replicate(state, mesh)
         print(f"resumed from step {int(state.step)}")
 
+    if cfg.train.tee:
+        # mirror stdout/stderr into the run dir (Spark/utils/misc.py:72-86)
+        from cmx.utils.logging import tee_output
+
+        tee_output(ckpt_dir)
     step_fn = make_train_step(task, tx)
     logger = MetricLogger()
     jsonl = JsonlLogger(os.path.join(ckpt_dir, "log.jsonl"))
@@ -264,8 +269,13 @@ def main(argv: Optional[list] = None) -> None:
         profile_this = cfg.train.profile_dir and ep == start_ep + 1
         t0 = time.time()
         step_metrics = []
+        # per-iteration progress (iter/data timing meters) for long epochs —
+        # the MetricLogger.log_every surface (Spark/utils/misc.py:289-339);
+        # metric VALUES still sync once per epoch below.
+        freq = cfg.train.log_every if steps_per_epoch > cfg.train.log_every else 0
         with trace(cfg.train.profile_dir if profile_this else None):
-            for _ in range(steps_per_epoch):
+            for _ in logger.log_every(range(steps_per_epoch), freq,
+                                      header=f"ep{ep}") if freq else range(steps_per_epoch):
                 idx = next(it)
                 batch = shard_batch(jnp.asarray(imgs[idx]), mesh)
                 state, metrics = step_fn(state, batch)

@@ -70,6 +70,7 @@ class TrainConfig:
     val_fraction: float = 0.1
     tensorboard: bool = False
     profile_dir: str = ""  # capture a jax.profiler trace of one epoch
+    tee: bool = False  # mirror stdout/stderr into the run dir (misc.py:72-86)
 
 
 @dataclass

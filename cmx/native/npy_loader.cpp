@@ -118,34 +118,74 @@ inline float cubic_w(float x) {
   return 0.0f;
 }
 
+// Per-axis resampling coefficients, PIL-style: when downscaling the kernel
+// support is scaled by the factor (antialias), so a 475->256 resize averages
+// ~8 taps per axis instead of sampling 4 — matching Image.resize(BICUBIC),
+// which always antialiases. (The previous fixed-4-tap version aliased on
+// downscale and diverged from the Python/PIL fallback path.)
+struct AxisCoeffs {
+  std::vector<long> first;    // first source index per output position
+  std::vector<int> count;     // tap count per output position
+  std::vector<float> weight;  // taps, normalized, ksize per output position
+  int ksize = 0;
+};
+
+AxisCoeffs make_coeffs(long in_size, int out_size) {
+  AxisCoeffs c;
+  const float scale = float(in_size) / out_size;
+  const float support_scale = scale > 1.0f ? scale : 1.0f;
+  const float support = 2.0f * support_scale;  // cubic kernel radius 2
+  c.ksize = int(std::ceil(support)) * 2 + 1;
+  c.first.resize(out_size);
+  c.count.resize(out_size);
+  c.weight.assign(size_t(out_size) * c.ksize, 0.0f);
+  for (int o = 0; o < out_size; o++) {
+    const float center = (o + 0.5f) * scale - 0.5f;
+    long x0 = long(std::floor(center - support)) + 1;
+    long x1 = long(std::floor(center + support));
+    if (x0 < 0) x0 = 0;
+    if (x1 > in_size - 1) x1 = in_size - 1;
+    float* wp = &c.weight[size_t(o) * c.ksize];
+    float wsum = 0.0f;
+    int k = 0;
+    for (long x = x0; x <= x1; x++, k++) {
+      float wgt = cubic_w((float(x) - center) / support_scale);
+      wp[k] = wgt;
+      wsum += wgt;
+    }
+    if (wsum != 0.0f)
+      for (int i = 0; i < k; i++) wp[i] /= wsum;
+    c.first[o] = x0;
+    c.count[o] = k;
+  }
+  return c;
+}
+
 void resize_bicubic(const NpyArray& src, int out_size, float* dst) {
   const long h = src.rows, w = src.cols;
-  const float sy = float(h) / out_size, sx = float(w) / out_size;
-  for (int oy = 0; oy < out_size; oy++) {
-    float cy = (oy + 0.5f) * sy - 0.5f;
-    long y0 = long(std::floor(cy)) - 1;
-    float wy[4];
-    for (int k = 0; k < 4; k++) wy[k] = cubic_w(cy - float(y0 + k));
+  const AxisCoeffs cx = make_coeffs(w, out_size);
+  const AxisCoeffs cy = make_coeffs(h, out_size);
+  // separable two-pass (horizontal then vertical), like PIL
+  std::vector<float> tmp(size_t(h) * out_size);
+  for (long y = 0; y < h; y++) {
+    const float* row = &src.data[y * w];
+    float* trow = &tmp[y * out_size];
     for (int ox = 0; ox < out_size; ox++) {
-      float cx = (ox + 0.5f) * sx - 0.5f;
-      long x0 = long(std::floor(cx)) - 1;
-      float wx[4];
-      for (int k = 0; k < 4; k++) wx[k] = cubic_w(cx - float(x0 + k));
-      float acc = 0.0f, wsum = 0.0f;
-      for (int ky = 0; ky < 4; ky++) {
-        long yy = y0 + ky;
-        if (yy < 0) yy = 0;
-        if (yy >= h) yy = h - 1;
-        for (int kx = 0; kx < 4; kx++) {
-          long xx = x0 + kx;
-          if (xx < 0) xx = 0;
-          if (xx >= w) xx = w - 1;
-          float wgt = wy[ky] * wx[kx];
-          acc += wgt * src.data[yy * w + xx];
-          wsum += wgt;
-        }
-      }
-      dst[oy * long(out_size) + ox] = acc / wsum;
+      const float* wp = &cx.weight[size_t(ox) * cx.ksize];
+      const long x0 = cx.first[ox];
+      float acc = 0.0f;
+      for (int k = 0; k < cx.count[ox]; k++) acc += wp[k] * row[x0 + k];
+      trow[ox] = acc;
+    }
+  }
+  for (int oy = 0; oy < out_size; oy++) {
+    const float* wp = &cy.weight[size_t(oy) * cy.ksize];
+    const long y0 = cy.first[oy];
+    for (int ox = 0; ox < out_size; ox++) {
+      float acc = 0.0f;
+      for (int k = 0; k < cy.count[oy]; k++)
+        acc += wp[k] * tmp[(y0 + k) * out_size + ox];
+      dst[oy * long(out_size) + ox] = acc;
     }
   }
 }

@@ -44,5 +44,37 @@ def test_pretrain_resume_and_finetune(tmp_path, monkeypatch):
         "data.synthetic=True", "data.synthetic_n=12", "data.image_size=32",
         "data.ratio=0.3", "model.dtype=float32",
     ])
-    out = json.load(open("results/test_encoder.json"))
+    # the generic export name resolves to the task dir for the results tag
+    out = json.load(open("results/test_mae.json"))
     assert "dice" in out and np.isfinite(out["dice"])
+
+
+def test_evaluate_probe_and_vis(tmp_path, monkeypatch):
+    """evaluate CLI extras: --probe (SSLEvaluator MLP on frozen features) and
+    --vis (SparK reconstruction triplet from model.npz)."""
+    monkeypatch.chdir(tmp_path)
+    import io
+    from contextlib import redirect_stdout
+
+    from cmx.cli import evaluate, pretrain
+
+    common = [
+        "data.synthetic=True", "data.synthetic_n=12", "data.image_size=32",
+        "train.batch_size=8", "model.dtype=float32", "task.augment=False",
+    ]
+    pretrain.main(["--task", "spark", "train.epochs=1", *common])
+    assert os.path.exists("checkpoints/spark/model.npz")
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        evaluate.main([
+            "--encoder", "checkpoints/spark/encoder.npz",
+            "--probe", "16",
+            "--vis", "checkpoints/spark",
+            "--",
+            "data.synthetic=True", "data.synthetic_n=12",
+            "data.image_size=32", "model.dtype=float32", "data.ratio=0.3",
+        ])
+    out = json.loads(buf.getvalue()[buf.getvalue().index("{"):])
+    assert "probe_test_acc" in out and np.isfinite(out["probe_test_acc"])
+    assert "vis_path" in out and os.path.exists(out["vis_path"])

@@ -24,10 +24,10 @@ def test_native_loads_and_matches_python(corpus):
     assert native.shape == (8, 64, 64)
     assert native.dtype == np.float32
     py, _ = load_corpus(xs, None, size=64)
-    # PIL's bicubic uses antialiased support on downscale; plain bicubic
-    # differs slightly — require strong agreement, not bit-equality.
-    corr = np.corrcoef(native.ravel(), py.ravel())[0, 1]
-    assert corr > 0.97, corr
+    # The native resize implements PIL's antialiased bicubic (kernel support
+    # scaled by the downscale factor) — numeric parity, not just correlation,
+    # so a run trains on the same pixels whichever loader is available.
+    np.testing.assert_allclose(native, py, atol=2e-5, rtol=1e-4)
 
 
 def test_native_identity_resize(corpus):
