@@ -179,3 +179,21 @@ def test_nonlinear_poly_close_to_exact(rng):
         span = float(img.max() - img.min())
         err = float(jnp.abs(fast - exact).max()) / span
         assert err < 0.05, err  # <5% of intensity span
+
+
+def test_downscale_random_and_albumentations_noise(rng):
+    """Round-2 aug parity hardening: Downscale(scale 0.5-1) discretized
+    levels; GaussNoise sigma = sqrt(U(var_limit)) applied to float values
+    as-is (Finetuning/dataset.py:146-149 albumentations arguments)."""
+    import jax
+
+    from cmx.ops.augment import _albumentations_gauss_noise, downscale_random
+
+    img = jnp.asarray(rng.normal(size=(64, 64)).astype(np.float32))
+    out = downscale_random(jax.random.key(3), img, (0.5, 1.0), p=1.0)
+    assert out.shape == img.shape and np.isfinite(np.asarray(out)).all()
+
+    noisy = _albumentations_gauss_noise(jax.random.key(0), img, (10.0, 50.0), p=1.0)
+    resid = np.asarray(noisy - img)
+    # sigma in [sqrt(10), sqrt(50)] ~ [3.16, 7.07]
+    assert 2.5 < resid.std() < 8.0, resid.std()
