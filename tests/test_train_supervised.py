@@ -80,3 +80,42 @@ def test_nan_guard_skips_update():
     assert float(metrics["nonfinite"]) == 1.0
     new_leaf = np.asarray(jax.tree.leaves(state2.params)[0])
     np.testing.assert_array_equal(old_leaf, new_leaf)  # update skipped
+
+
+def test_nan_guard_protects_post_update_state():
+    """A non-finite step must not poison task-owned extra state either:
+    MoCo would otherwise enqueue NaN keys / absorb NaN EMA BN stats and make
+    every later step NaN while the guard silently skips them (round-2 fix in
+    cmx/train/trainer.py)."""
+    import optax
+
+    from cmx.train.trainer import Task, TaskAux
+
+    def loss_fn(params, state, batch, rng):
+        loss = jnp.sum(params["w"] * batch)
+        return loss, TaskAux(
+            batch_stats={}, metrics={},
+            updates={"candidate": jnp.full((4,), loss)},
+        )
+
+    def post_update(state, aux):
+        return {"queue": aux.updates["candidate"]}
+
+    task = Task(name="toy", loss_fn=loss_fn, post_update=post_update)
+    tx = optax.sgd(1e-2)
+    state = TrainState.create(
+        params={"w": jnp.ones((4,))}, batch_stats={}, tx=tx,
+        extra={"queue": jnp.zeros((4,))},
+    )
+    step = make_train_step(task, tx, donate=False)
+
+    # finite step: queue absorbs the new keys
+    state2, m = step(state, jnp.ones((4,)))
+    assert float(m["nonfinite"]) == 0.0
+    assert np.all(np.asarray(state2.extra["queue"]) != 0.0)
+
+    # NaN step: queue must stay EXACTLY as before
+    before = np.asarray(state2.extra["queue"]).copy()
+    state3, m = step(state2, jnp.full((4,), jnp.nan))
+    assert float(m["nonfinite"]) == 1.0
+    np.testing.assert_array_equal(np.asarray(state3.extra["queue"]), before)
