@@ -56,7 +56,8 @@ def main(argv: Optional[list] = None) -> None:
 
     dtype = jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32
     model = UNet(out_classes=cfg.model.out_classes,
-                 up_sample_mode=cfg.model.up_sample_mode, dtype=dtype)
+                 up_sample_mode=cfg.model.up_sample_mode, dtype=dtype,
+                 fused=cfg.model.fused_conv)
     init_variables = model.init(jax.random.key(cfg.train.seed),
                                 jnp.asarray(ft_imgs[:1]))
     if args.pretrained:

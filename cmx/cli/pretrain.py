@@ -35,7 +35,7 @@ def build_task(cfg: Config, dtype):
         from cmx.models.unet import UNet
         from cmx.ssl.reconstruction import make_genesis_task
 
-        model = UNet(out_classes=1, dtype=dtype)
+        model = UNet(out_classes=1, dtype=dtype, fused=cfg.model.fused_conv)
         task, _ = make_genesis_task(model)
         init = lambda key, x: model.init(key, x[:1])
         extra = None
@@ -43,7 +43,7 @@ def build_task(cfg: Config, dtype):
         from cmx.models.unet import UNet
         from cmx.ssl.reconstruction import make_mae_task
 
-        model = UNet(out_classes=1, dtype=dtype)
+        model = UNet(out_classes=1, dtype=dtype, fused=cfg.model.fused_conv)
         task, _ = make_mae_task(model, mask_ratio=t.mask_ratio, patch_size=t.patch_size)
         init = lambda key, x: model.init(key, x[:1])
         extra = None
@@ -69,7 +69,8 @@ def build_task(cfg: Config, dtype):
         from cmx.ops.masking import spark_active_mask
         from cmx.ssl.spark import SparKModel, make_spark_task
 
-        model = SparKModel(mask_ratio=t.mask_ratio, full_unet=t.full_unet, dtype=dtype)
+        model = SparKModel(mask_ratio=t.mask_ratio, full_unet=t.full_unet,
+                           dtype=dtype, fused=cfg.model.fused_conv)
         task, _ = make_spark_task(model, augment=t.augment,
                                   input_size=cfg.data.image_size,
                                   pallas_loss=t.pallas_loss)

@@ -40,6 +40,8 @@ class ModelConfig:
     out_classes: int = 2
     up_sample_mode: str = "conv_transpose"
     dtype: str = "bfloat16"  # compute dtype; params always fp32
+    fused_conv: bool = False  # Pallas fused DoubleConv at the >=128^2 stages
+    # (cmx/ops/fused_conv.py); training-mode only, param-tree identical
 
 
 @dataclass

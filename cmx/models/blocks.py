@@ -49,10 +49,27 @@ class MaskedBatchNorm(nn.Module):
     momentum: float = 0.9
     epsilon: float = 1e-5
     dtype: Optional[Dtype] = None
+    features: Optional[int] = None  # required only for the x=None modes
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None):
-        c = x.shape[-1]
+    def __call__(
+        self,
+        x: Optional[jnp.ndarray],
+        mask: Optional[jnp.ndarray] = None,
+        precomputed: Optional[tuple] = None,
+    ):
+        """Standard call: normalize x (batch or running stats).
+
+        Two extra modes serve the fused DoubleConv path (cmx.ops.fused_conv),
+        which computes the batch moments inside its Pallas kernels:
+          * x=None, precomputed=None -> declare params only, return
+            (scale, bias) so the caller can hand them to the kernel.
+          * x=None, precomputed=(mean, var) -> apply the running-average
+            update with the externally computed moments (bookkeeping only).
+        Both keep this module's param/variable tree byte-identical to the
+        standard path, so fused and unfused checkpoints interchange.
+        """
+        c = x.shape[-1] if x is not None else self.features
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (c,), jnp.float32)
 
@@ -63,7 +80,16 @@ class MaskedBatchNorm(nn.Module):
             "batch_stats", "var", lambda: jnp.ones((c,), jnp.float32)
         )
 
-        if self.use_running_average:
+        if x is None and precomputed is None:
+            return scale, bias
+        if precomputed is not None:
+            mean, var = precomputed
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+            if x is None:
+                return None
+        elif self.use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
             xf = x.astype(jnp.float32)
@@ -107,9 +133,56 @@ class DoubleConv(nn.Module):
     features: int
     dtype: Dtype = jnp.bfloat16
     use_running_average: bool = False
+    fused: bool = False
+    fused_min_hw: int = 128  # only stages at >= this resolution are
+    # bandwidth-bound (RESULTS.md round-2 per-level table); deeper stages
+    # run at 66-74% MFU under XLA and keep the plain path.
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None):
+        from cmx.ops import fused_conv as fc
+
+        # The fused Pallas path targets the HBM-bandwidth-bound high-res
+        # stages (see fused_conv module docstring). Training mode only —
+        # eval reuses the plain path (not throughput-critical). Parameter
+        # trees are identical either way.
+        use_fused = (
+            self.fused
+            and not self.use_running_average
+            and self.dtype == jnp.bfloat16
+            and x.shape[1] >= self.fused_min_hw
+            and x.shape[1] % fc.STRIP == 0
+            and x.shape[2] % 8 == 0
+        )
+        if use_fused:
+            cin = x.shape[-1]
+            convs, bns, params = [], [], []
+            for i in range(2):
+                conv = nn.Conv(
+                    self.features, (3, 3), padding="SAME", dtype=self.dtype,
+                    param_dtype=jnp.float32, name=f"conv{i}")
+                # Materialize the child's params without running the real
+                # conv: a 1-px dummy call (DCE'd by XLA) binds the module.
+                conv(jnp.zeros((1, 1, 1, cin if i == 0 else self.features),
+                               self.dtype))
+                bn = MaskedBatchNorm(
+                    use_running_average=False, dtype=self.dtype,
+                    features=self.features, name=f"bn{i}")
+                scale, bias = bn(None)
+                cv = conv.variables["params"]
+                params += [cv["kernel"], cv["bias"], scale, bias]
+                convs.append(conv)
+                bns.append(bn)
+            if mask is None:
+                m = jnp.ones(x.shape[:3], jnp.bfloat16)
+            else:
+                m = (mask[..., 0] if mask.ndim == 4 else mask)
+            out, (mean0, var0, mean1, var1) = fc.fused_double_conv(
+                x.astype(self.dtype), m, *params)
+            bns[0](None, precomputed=(mean0, var0))
+            bns[1](None, precomputed=(mean1, var1))
+            return out
+
         for i in range(2):
             x = nn.Conv(
                 self.features,
@@ -146,6 +219,7 @@ class DownBlock(nn.Module):
     features: int
     dtype: Dtype = jnp.bfloat16
     use_running_average: bool = False
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None):
@@ -153,6 +227,7 @@ class DownBlock(nn.Module):
             self.features,
             dtype=self.dtype,
             use_running_average=self.use_running_average,
+            fused=self.fused,
             name="double_conv",
         )(x, mask)
         down = max_pool_2x2(skip)
@@ -232,6 +307,7 @@ class UpBlock(nn.Module):
     up_sample_mode: str = "conv_transpose"
     dtype: Dtype = jnp.bfloat16
     use_running_average: bool = False
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, skip: jnp.ndarray):
@@ -261,5 +337,6 @@ class UpBlock(nn.Module):
             self.features,
             dtype=self.dtype,
             use_running_average=self.use_running_average,
+            fused=self.fused,
             name="double_conv",
         )(x)

@@ -60,6 +60,7 @@ class UNetEncoder(nn.Module):
     bottleneck: int = BOTTLENECK_WIDTH
     dtype: Dtype = jnp.bfloat16
     use_running_average: bool = False
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None):
@@ -76,6 +77,7 @@ class UNetEncoder(nn.Module):
                 w,
                 dtype=self.dtype,
                 use_running_average=self.use_running_average,
+                fused=self.fused,
                 name=f"down{i + 1}",
             )(x, mask)
             skips.append(skip)
@@ -105,6 +107,7 @@ class UNetDecoder(nn.Module):
     up_sample_mode: str = "conv_transpose"
     dtype: Dtype = jnp.bfloat16
     use_running_average: bool = False
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, skips: Sequence[jnp.ndarray]):
@@ -114,6 +117,7 @@ class UNetDecoder(nn.Module):
                 up_sample_mode=self.up_sample_mode,
                 dtype=self.dtype,
                 use_running_average=self.use_running_average,
+                fused=self.fused,
                 name=f"up{len(self.widths) - i}",
             )(x, skips[len(skips) - 1 - i])
         x = nn.Conv(
@@ -138,12 +142,14 @@ class UNet(nn.Module):
     up_sample_mode: str = "conv_transpose"
     dtype: Dtype = jnp.bfloat16
     use_running_average: bool = False
+    fused: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None):
         h, skips = UNetEncoder(
             dtype=self.dtype,
             use_running_average=self.use_running_average,
+            fused=self.fused,
             name="encoder",
         )(x, mask)
         return UNetDecoder(
@@ -151,6 +157,7 @@ class UNet(nn.Module):
             up_sample_mode=self.up_sample_mode,
             dtype=self.dtype,
             use_running_average=self.use_running_average,
+            fused=self.fused,
             name="decoder",
         )(h, skips)
 

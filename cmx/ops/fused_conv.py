@@ -1,0 +1,424 @@
+"""Fused masked DoubleConv — the SparK hot-path Pallas kernels.
+
+Reference semantics reproduced: the SparK sparse DoubleConv stage
+(/root/reference/Pretraining/Spark/encoder.py:14-36 — dense conv, re-mask,
+BN over active positions, ReLU, re-mask — composed twice per block, cf.
+/root/reference/Finetuning/model.py:4-26). The reference computes this as
+~7 separate CUDA launches with every intermediate round-tripping through
+HBM; measured on v5e the L1/L2 stages of the UNet are pure
+HBM-bandwidth-bound (RESULTS.md round-2 table: 26%/49% MFU), so the TPU-native
+formulation is *traffic fusion*, not sparsity:
+
+  pass K1:  y0 = conv3x3(x) + b, re-mask, inline per-channel {sum, sumsq}
+  (XLA)     fold masked batch stats -> (inv0, shift0)          [tiny, (C,)]
+  pass K2:  y1 = conv3x3(relu(y0*inv0+shift0)*m) + b, re-mask, inline stats
+            -- the normalize/ReLU/mask of stage 0 happens in VMEM while
+               streaming y0 as K2's input: the activated tensor h0 is NEVER
+               materialized in HBM.
+  (XLA)     fold -> (inv1, shift1); out = relu(y1*inv1+shift1)*m fuses into
+            the consumer (maxpool / next conv) for free.
+
+Inline stats remove the separate reduction pass XLA emits per BatchNorm;
+skipping h0 removes one full write+read of the biggest tensors in the
+network. Backward is a hand-derived masked-BN/conv VJP (jnp; XLA fuses it
+well) — pallas_call has no autodiff.
+
+The kernels run compiled on TPU and in interpret mode on CPU (tests).
+Layout contract: NHWC, bf16 activations, fp32 stats/params (CLAUDE.md).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from cmx.ops.pallas_ops import _auto_interpret
+
+# Strip height per program: divides every fused resolution (128, 256) and
+# keeps per-program VMEM < ~8 MB at the widest fused stage (C=256 @ 128^2).
+STRIP = 32
+_EPS = 1e-5
+
+# Kernel compute/storage dtype. bf16 in production (CLAUDE.md precision
+# contract); tests flip this to float32 to compare the hand-derived VJP
+# against autodiff with no rounding-noise ambiguity.
+COMPUTE_DTYPE = jnp.bfloat16
+
+
+def _cdt():
+    return COMPUTE_DTYPE
+
+
+# ---------------------------------------------------------------------------
+# K1 stem kernel: im2col matmul + mask + inline stats (no halo needed — the
+# 9-tap patches are pre-built by XLA for the 1-channel input, which is tiny).
+# ---------------------------------------------------------------------------
+
+
+def _stem_kernel(p_ref, m_ref, w_ref, b_ref, y_ref, s_ref):
+    """p (1,S,W,9) patches, m (1,S,W), w (9,C), b (C,) ->
+    y (1,S,W,C) bf16, s (1,1,8,C) rows 0=sum 1=sumsq."""
+    _, S, W, K = p_ref.shape
+    C = w_ref.shape[1]
+    p = p_ref[0].reshape(S * W, K)
+    acc = jnp.dot(p, w_ref[...], preferred_element_type=jnp.float32)
+    acc = acc + b_ref[...].astype(jnp.float32)
+    m = m_ref[0].reshape(S * W, 1).astype(jnp.float32)
+    acc = acc * m
+    y_ref[0] = acc.reshape(S, W, C).astype(y_ref.dtype)
+    ssum = jnp.sum(acc, axis=0)  # (C,)
+    sq = jnp.sum(acc * acc, axis=0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (8, C), 0)
+    s_ref[0, 0] = jnp.where(rows == 0, ssum[None, :],
+                            jnp.where(rows == 1, sq[None, :], 0.0))
+
+
+def conv_stem_stats(
+    patches: jnp.ndarray, m: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
+    interpret: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """patches (B,H,W,9) bf16, m (B,H,W), w (9,C), b (C,).
+
+    Returns (y (B,H,W,C) bf16, sum (C,) fp32, sumsq (C,) fp32)."""
+    B, H, W, K = patches.shape
+    C = w.shape[1]
+    nS = H // STRIP
+    y, s = pl.pallas_call(
+        _stem_kernel,
+        grid=(B, nS),
+        in_specs=[
+            pl.BlockSpec((1, STRIP, W, K), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, STRIP, W), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, C), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), lambda i, j: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, STRIP, W, C), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, C), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H, W, C), _cdt()),
+            jax.ShapeDtypeStruct((B, nS, 8, C), jnp.float32),
+        ),
+        interpret=_auto_interpret(interpret),
+    )(patches, m, w, b)
+    part = jnp.sum(s, axis=(0, 1))  # (8, C)
+    return y, part[0], part[1]
+
+
+def make_patches9(x: jnp.ndarray) -> jnp.ndarray:
+    """(B,H,W) -> (B,H,W,9) zero-padded 3x3 neighborhoods (XLA one-pass)."""
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1)))
+    H, W = x.shape[1], x.shape[2]
+    taps = [xp[:, dy:dy + H, dx:dx + W] for dy in range(3) for dx in range(3)]
+    return jnp.stack(taps, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# K2 general kernel: [optional in-VMEM normalize+ReLU+mask of the input] ->
+# 3x3 conv (9 shifted matmuls over a halo strip) -> +bias -> mask -> stats.
+# Input arrives via manual HBM->VMEM DMA because blocks need a 1-row halo.
+# ---------------------------------------------------------------------------
+
+
+def _conv_kernel(src_hbm, m_hbm, inv_ref, shift_ref, w_ref, b_ref,
+                 y_ref, s_ref, xs, ms, sem0, sem1, sem2, sem3,
+                 *, S: int, H: int, W: int, pre_norm: bool):
+    bi = pl.program_id(0)
+    si = pl.program_id(1)
+    r0 = si * S
+    Cin = src_hbm.shape[3]
+    C = w_ref.shape[3]
+
+    # --- load the (S+2)-row halo strip: main rows + guarded edge rows.
+    main = pltpu.make_async_copy(
+        src_hbm.at[bi, pl.ds(r0, S)], xs.at[pl.ds(1, S)], sem0)
+    main.start()
+    mmain = pltpu.make_async_copy(
+        m_hbm.at[bi, pl.ds(r0, S)], ms.at[pl.ds(1, S)], sem1)
+    mmain.start()
+
+    @pl.when(si > 0)
+    def _():
+        top = pltpu.make_async_copy(
+            src_hbm.at[bi, pl.ds(r0 - 1, 1)], xs.at[pl.ds(0, 1)], sem2)
+        top.start()
+        top.wait()
+        mt = pltpu.make_async_copy(
+            m_hbm.at[bi, pl.ds(r0 - 1, 1)], ms.at[pl.ds(0, 1)], sem2)
+        mt.start()
+        mt.wait()
+
+    @pl.when(si == 0)
+    def _():
+        xs[0] = jnp.zeros((W, Cin), xs.dtype)
+        ms[0] = jnp.zeros((W,), ms.dtype)
+
+    @pl.when(si < pl.num_programs(1) - 1)
+    def _():
+        bot = pltpu.make_async_copy(
+            src_hbm.at[bi, pl.ds(r0 + S, 1)], xs.at[pl.ds(S + 1, 1)], sem3)
+        bot.start()
+        bot.wait()
+        mb = pltpu.make_async_copy(
+            m_hbm.at[bi, pl.ds(r0 + S, 1)], ms.at[pl.ds(S + 1, 1)], sem3)
+        mb.start()
+        mb.wait()
+
+    @pl.when(si == pl.num_programs(1) - 1)
+    def _():
+        xs[S + 1] = jnp.zeros((W, Cin), xs.dtype)
+        ms[S + 1] = jnp.zeros((W,), ms.dtype)
+
+    main.wait()
+    mmain.wait()
+
+    h = xs[...]
+    if pre_norm:
+        # stage-0 epilogue, fused into this conv's input read: the activated
+        # tensor exists only in VMEM.
+        hf = h.astype(jnp.float32) * inv_ref[...] + shift_ref[...]
+        h = (jnp.maximum(hf, 0.0)
+             * ms[...].astype(jnp.float32)[..., None]).astype(xs.dtype)
+
+    # --- 3x3 conv as 9 shifted (S*W, Cin) @ (Cin, C) matmuls. W-dim shifts
+    # come from column-sliced copies of the strip (sublane shifts).
+    acc = jnp.zeros((S * W, C), jnp.float32)
+    zcol = jnp.zeros((S + 2, 1, Cin), h.dtype)
+    hpad = jnp.concatenate([zcol, h, zcol], axis=1)  # (S+2, W+2, Cin)
+    for dy in range(3):
+        for dx in range(3):
+            tap = hpad[dy:dy + S, dx:dx + W].reshape(S * W, Cin)
+            acc = acc + jnp.dot(tap, w_ref[dy, dx],
+                                preferred_element_type=jnp.float32)
+    acc = acc + b_ref[...].astype(jnp.float32)
+    mm = ms[pl.ds(1, S)].reshape(S * W, 1).astype(jnp.float32)
+    acc = acc * mm
+    y_ref[0] = acc.reshape(S, W, C).astype(y_ref.dtype)
+    ssum = jnp.sum(acc, axis=0)
+    sq = jnp.sum(acc * acc, axis=0)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (8, C), 0)
+    s_ref[0, 0] = jnp.where(rows == 0, ssum[None, :],
+                            jnp.where(rows == 1, sq[None, :], 0.0))
+
+
+def conv3x3_mask_stats(
+    src: jnp.ndarray, m: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
+    inv: Optional[jnp.ndarray] = None, shift: Optional[jnp.ndarray] = None,
+    interpret: Optional[bool] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Fused [normalize-ReLU-mask ->] conv3x3 -> +b -> mask -> inline stats.
+
+    src (B,H,W,Cin) bf16 — raw conv output of the previous stage when
+    inv/shift are given (pre_norm), else an already-activated tensor.
+    m (B,H,W) mask; w (3,3,Cin,C); b (C,). Returns (y bf16, sum, sumsq).
+    """
+    B, H, W, Cin = src.shape
+    C = w.shape[3]
+    pre_norm = inv is not None
+    if inv is None:
+        inv = jnp.ones((Cin,), jnp.float32)
+        shift = jnp.zeros((Cin,), jnp.float32)
+    nS = H // STRIP
+    kernel = functools.partial(
+        _conv_kernel, S=STRIP, H=H, W=W, pre_norm=pre_norm)
+    y, s = pl.pallas_call(
+        kernel,
+        grid=(B, nS),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),  # src stays in HBM (halo DMA)
+            pl.BlockSpec(memory_space=pl.ANY),  # mask idem
+            pl.BlockSpec((Cin,), lambda i, j: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((Cin,), lambda i, j: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, Cin, C), lambda i, j: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), lambda i, j: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, STRIP, W, C), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 8, C), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H, W, C), _cdt()),
+            jax.ShapeDtypeStruct((B, nS, 8, C), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((STRIP + 2, W, Cin), _cdt()),
+            pltpu.VMEM((STRIP + 2, W), _cdt()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        interpret=_auto_interpret(interpret),
+    )(src, m.astype(_cdt()), inv, shift, w, b)
+    part = jnp.sum(s, axis=(0, 1))
+    return y, part[0], part[1]
+
+
+# ---------------------------------------------------------------------------
+# The differentiable fused DoubleConv core.
+# ---------------------------------------------------------------------------
+
+
+def _fold(gamma, beta, mean, var):
+    inv = gamma * jax.lax.rsqrt(var + _EPS)
+    return inv, beta - mean * inv
+
+
+def _stats(ssum, sq, nact):
+    mean = ssum / nact
+    var = jnp.maximum(sq / nact - mean * mean, 0.0)
+    return mean, var
+
+
+def _conv(x, w):
+    """Pure NHWC 3x3 SAME conv in bf16 (flax nn.Conv equivalent)."""
+    return jax.lax.conv_general_dilated(
+        x, w.astype(x.dtype), (1, 1), "SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10,))
+def fused_double_conv(x, m, w0, b0, g0, be0, w1, b1, g1, be1, interpret=None):
+    """Masked DoubleConv (training mode), Pallas-fused forward.
+
+    x (B,H,W,Cin) bf16 (pre-masked by the caller, as in the unfused path);
+    m (B,H,W) {0,1}; per-stage conv kernels w_i (3,3,·,C) fp32, biases b_i,
+    BN scale g_i / bias be_i fp32. Returns
+    (out (B,H,W,C) bf16, (mean0, var0, mean1, var1)) — the stats feed the
+    flax running-average update in blocks.DoubleConv.
+    """
+    out, stats, _ = _fwd_impl(x, m, w0, b0, g0, be0, w1, b1, g1, be1,
+                              interpret)
+    return out, stats
+
+
+def _fwd_impl(x, m, w0, b0, g0, be0, w1, b1, g1, be1, interpret):
+    B, H, W, Cin = x.shape
+    mb = m.astype(_cdt())
+    nact = jnp.maximum(jnp.sum(m.astype(jnp.float32)), 1.0)
+    if Cin == 1:
+        patches = make_patches9(x[..., 0].astype(_cdt()))
+        y0, s0, q0 = conv_stem_stats(
+            patches, mb, w0.reshape(9, -1).astype(_cdt()),
+            b0, interpret=interpret)
+    else:
+        y0, s0, q0 = conv3x3_mask_stats(
+            x.astype(_cdt()), mb, w0.astype(_cdt()), b0,
+            interpret=interpret)
+    mean0, var0 = _stats(s0, q0, nact)
+    inv0, shift0 = _fold(g0, be0, mean0, var0)
+    y1, s1, q1 = conv3x3_mask_stats(
+        y0, mb, w1.astype(_cdt()), b1, inv0, shift0,
+        interpret=interpret)
+    mean1, var1 = _stats(s1, q1, nact)
+    inv1, shift1 = _fold(g1, be1, mean1, var1)
+    out = (jnp.maximum(y1.astype(jnp.float32) * inv1 + shift1, 0.0)
+           * m.astype(jnp.float32)[..., None]).astype(_cdt())
+    res = (x, m, w0, w1, g0, be0, g1, be1, y0, y1,
+           mean0, var0, mean1, var1, nact)
+    return out, (mean0, var0, mean1, var1), res
+
+
+def _fused_fwd(x, m, w0, b0, g0, be0, w1, b1, g1, be1, interpret):
+    out, stats, res = _fwd_impl(x, m, w0, b0, g0, be0, w1, b1, g1, be1,
+                                interpret)
+    return (out, stats), res
+
+
+def _fused_bwd(interpret, res, cts):
+    """Hand-derived VJP of the fused DoubleConv.
+
+    Per stage (weights w_i = m_i / nact, sum(w) = 1, xhat = (y-mean)*r):
+      dz     = g * m * 1[gamma*xhat + beta > 0]        (mask + ReLU gate)
+      dgamma = sum(dz * xhat);  dbeta = sum(dz)
+      dy     = m * gamma*r * (dz - (dbeta + xhat*dgamma) / nact)
+    (the outer m in dy is the pre-BN re-mask's gradient; positions with
+    m=0 contribute nothing to stats, so the weighted-BN correction terms
+    carry m as the weight). Conv VJPs are delegated to jax.vjp of the pure
+    lax conv — XLA's own dX/dW kernels. The `var = max(var, 0)` clamp's
+    subgradient at exactly 0 is taken as 1 (matches jnp.maximum's VJP
+    convention in the unfused path up to the tie case).
+
+    Stats cotangents are structurally zero: they only feed the (non-
+    differentiated) running-average update. mask is data (zero cotangent).
+    """
+    g_out, _ = cts
+    (x, m, w0, w1, g0, be0, g1, be1, y0, y1,
+     mean0, var0, mean1, var1, nact) = res
+    mf = m.astype(jnp.float32)[..., None]
+    red = (0, 1, 2)
+
+    def stage_bwd(dout, y, mean, var, gamma, beta):
+        yf = y.astype(jnp.float32)
+        r = jax.lax.rsqrt(var + _EPS)
+        xhat = (yf - mean) * r
+        gate = (gamma * xhat + beta) > 0
+        dz = dout.astype(jnp.float32) * mf * gate
+        dgamma = jnp.sum(dz * xhat, axis=red)
+        dbeta = jnp.sum(dz, axis=red)
+        dy = mf * (gamma * r) * (dz - (dbeta + xhat * dgamma) / nact)
+        return dy, dgamma, dbeta
+
+    # stage 1: out -> y1 -> (h0, w1, b1)
+    dy1, dg1, dbe1 = stage_bwd(g_out, y1, mean1, var1, g1, be1)
+    db1 = jnp.sum(dy1, axis=red)
+    inv0, shift0 = _fold(g0, be0, mean0, var0)
+    h0 = (jnp.maximum(y0.astype(jnp.float32) * inv0 + shift0, 0.0)
+          * mf).astype(_cdt())
+    dh0, dw1 = _conv_vjp(h0, w1, dy1.astype(_cdt()))
+
+    # stage 0: h0 -> y0 -> (x, w0, b0)
+    dy0, dg0, dbe0 = stage_bwd(dh0, y0, mean0, var0, g0, be0)
+    db0 = jnp.sum(dy0, axis=red)
+    dx, dw0 = _conv_vjp(x.astype(_cdt()), w0, dy0.astype(_cdt()))
+    return (dx.astype(x.dtype), jnp.zeros_like(m),
+            dw0.astype(jnp.float32), db0, dg0, dbe0,
+            dw1.astype(jnp.float32), db1, dg1, dbe1)
+
+
+def _conv_vjp(h, w, dy):
+    """(dinput, dkernel) of the pure bf16 NHWC 3x3 SAME conv.
+
+    Operates fully in bf16 (fp32 MXU accumulation inside) — the same
+    precision profile the unfused flax path's autodiff has."""
+    _, vjp = jax.vjp(_conv, h.astype(_cdt()), w.astype(_cdt()))
+    dinp, dker = vjp(dy.astype(_cdt()))
+    return dinp, dker
+
+
+fused_double_conv.defvjp(_fused_fwd, _fused_bwd)
+
+
+def double_conv_reference(x, m, w0, b0, g0, be0, w1, b1, g1, be1):
+    """Unfused jnp reference of the same masked DoubleConv (training mode)
+    for tests: mirrors blocks.DoubleConv's op order exactly."""
+    mf = m.astype(jnp.float32)[..., None]
+    nact = jnp.maximum(jnp.sum(m.astype(jnp.float32)), 1.0)
+    stats = []
+
+    def stage(h, w, b, gamma, beta):
+        y = _conv(h.astype(_cdt()), w.astype(_cdt()))
+        y = (y + b.astype(y.dtype)).astype(jnp.float32) * mf
+        mean = jnp.sum(y, axis=(0, 1, 2)) / nact
+        var = jnp.maximum(jnp.sum(y * y, axis=(0, 1, 2)) / nact - mean ** 2,
+                          0.0)
+        stats.append((mean, var))
+        inv, shift = _fold(gamma, beta, mean, var)
+        return (jnp.maximum(y * inv + shift, 0.0) * mf).astype(_cdt())
+
+    h = stage(x, w0, b0, g0, be0)
+    out = stage(h, w1, b1, g1, be1)
+    return out, (stats[0][0], stats[0][1], stats[1][0], stats[1][1])

@@ -55,6 +55,7 @@ class SparKModel(nn.Module):
     decoder_width: int = 768
     dtype: Dtype = jnp.bfloat16
     use_running_average: bool = False
+    fused: bool = False
 
     @nn.compact
     def __call__(self, imgs: jnp.ndarray, active_grid: jnp.ndarray):
@@ -67,6 +68,7 @@ class SparKModel(nn.Module):
         bottleneck, skips = UNetEncoder(
             dtype=self.dtype,
             use_running_average=self.use_running_average,
+            fused=self.fused,
             name="encoder",
         )(imgs, active_pix)
 
@@ -107,6 +109,7 @@ class SparKModel(nn.Module):
                 out_classes=1,
                 dtype=self.dtype,
                 use_running_average=self.use_running_average,
+                fused=self.fused,
                 name="decoder",
             )(to_dec[0], list(reversed(to_dec[1:])))
         else:
