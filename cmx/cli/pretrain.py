@@ -260,6 +260,26 @@ def main(argv: Optional[list] = None) -> None:
                 loss, _ = task.loss_fn(state.params, state, batch, key)
                 return loss
 
+    # Device-resident corpus feed (DataConfig.device_feed): one replicated
+    # upload, then an on-device row gather per step. The reference streams
+    # every batch host->GPU via DataLoader workers (Spark/utils/dataset.py);
+    # through a remote-TPU tunnel that per-step upload is the bottleneck, and
+    # whole-image gathers are cheap on TPU (RESULTS.md round-2: patch-level
+    # gathers ~3 ms/batch vs ~100 ms of 16 MB upload).
+    fetch = None
+    if (cfg.data.device_feed and world == 1
+            and imgs.nbytes <= cfg.data.device_feed_max_bytes):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        corpus_dev = jax.device_put(
+            jnp.asarray(imgs), NamedSharding(mesh, P()))
+        fetch = jax.jit(
+            lambda c, i: jnp.take(c, i, axis=0),
+            out_shardings=NamedSharding(
+                mesh, P(*((mesh.axis_names[0],) + (None,) * (imgs.ndim - 1)))),
+        )
+        print(f"device feed: corpus resident ({imgs.nbytes / 1e6:.0f} MB)")
+
     best_val = float("inf")
     bad_epochs = 0
     it = iter(sampler)
@@ -278,7 +298,10 @@ def main(argv: Optional[list] = None) -> None:
             for _ in logger.log_every(range(steps_per_epoch), freq,
                                       header=f"ep{ep}") if freq else range(steps_per_epoch):
                 idx = next(it)
-                batch = shard_batch(jnp.asarray(imgs[idx]), mesh)
+                if fetch is not None:
+                    batch = fetch(corpus_dev, jnp.asarray(idx))
+                else:
+                    batch = shard_batch(jnp.asarray(imgs[idx]), mesh)
                 state, metrics = step_fn(state, batch)
                 step_metrics.append(metrics)  # device arrays; no per-step sync
         # One host transfer per epoch (a float() per step forces a device

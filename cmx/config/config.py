@@ -33,6 +33,13 @@ class DataConfig:
     # images appended to the pretrain pool.
     extra_data_dir: str = ""
     native_loader: bool = True  # use the C++ corpus loader when available
+    # Keep the pretrain corpus resident in HBM (replicated over the mesh) and
+    # gather batches on device — removes the per-step host->device image
+    # upload, which dominates real training through the remote-TPU tunnel.
+    # Single-process only; host feed is used when the corpus exceeds the cap
+    # or jax.process_count() > 1.
+    device_feed: bool = True
+    device_feed_max_bytes: int = 4 << 30
 
 
 @dataclass

@@ -61,8 +61,12 @@ def _cdt():
 
 
 def _stem_kernel(p_ref, m_ref, w_ref, b_ref, y_ref, s_ref):
-    """p (1,S,W,9) patches, m (1,S,W), w (9,C), b (C,) ->
-    y (1,S,W,C) bf16, s (1,1,8,C) rows 0=sum 1=sumsq."""
+    """p (1,S,W,9) patches, m (1,S,W,1), w (9,C), b (C,) ->
+    y (1,S,W,C) bf16, s (1,1,8,C) rows 0=sum 1=sumsq.
+
+    The mask rides with a trailing singleton dim so every in-kernel reshape
+    merges leading dims only — lane-splitting reshapes do not lower on
+    Mosaic (see cmx/ops/pallas_ops.py)."""
     _, S, W, K = p_ref.shape
     C = w_ref.shape[1]
     p = p_ref[0].reshape(S * W, K)
@@ -94,7 +98,7 @@ def conv_stem_stats(
         in_specs=[
             pl.BlockSpec((1, STRIP, W, K), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, STRIP, W), lambda i, j: (i, j, 0),
+            pl.BlockSpec((1, STRIP, W, 1), lambda i, j: (i, j, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((K, C), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((C,), lambda i, j: (0,), memory_space=pltpu.VMEM),
@@ -110,7 +114,7 @@ def conv_stem_stats(
             jax.ShapeDtypeStruct((B, nS, 8, C), jnp.float32),
         ),
         interpret=_auto_interpret(interpret),
-    )(patches, m, w, b)
+    )(patches, m[..., None], w, b)
     part = jnp.sum(s, axis=(0, 1))  # (8, C)
     return y, part[0], part[1]
 
@@ -161,7 +165,7 @@ def _conv_kernel(src_hbm, m_hbm, inv_ref, shift_ref, w_ref, b_ref,
     @pl.when(si == 0)
     def _():
         xs[0] = jnp.zeros((W, Cin), xs.dtype)
-        ms[0] = jnp.zeros((W,), ms.dtype)
+        ms[0] = jnp.zeros((W, 1), ms.dtype)
 
     @pl.when(si < pl.num_programs(1) - 1)
     def _():
@@ -177,7 +181,7 @@ def _conv_kernel(src_hbm, m_hbm, inv_ref, shift_ref, w_ref, b_ref,
     @pl.when(si == pl.num_programs(1) - 1)
     def _():
         xs[S + 1] = jnp.zeros((W, Cin), xs.dtype)
-        ms[S + 1] = jnp.zeros((W,), ms.dtype)
+        ms[S + 1] = jnp.zeros((W, 1), ms.dtype)
 
     main.wait()
     mmain.wait()
@@ -188,7 +192,7 @@ def _conv_kernel(src_hbm, m_hbm, inv_ref, shift_ref, w_ref, b_ref,
         # tensor exists only in VMEM.
         hf = h.astype(jnp.float32) * inv_ref[...] + shift_ref[...]
         h = (jnp.maximum(hf, 0.0)
-             * ms[...].astype(jnp.float32)[..., None]).astype(xs.dtype)
+             * ms[...].astype(jnp.float32)).astype(xs.dtype)
 
     # --- 3x3 conv as 9 shifted (S*W, Cin) @ (Cin, C) matmuls. W-dim shifts
     # come from column-sliced copies of the strip (sublane shifts).
@@ -255,14 +259,14 @@ def conv3x3_mask_stats(
         ),
         scratch_shapes=[
             pltpu.VMEM((STRIP + 2, W, Cin), _cdt()),
-            pltpu.VMEM((STRIP + 2, W), _cdt()),
+            pltpu.VMEM((STRIP + 2, W, 1), _cdt()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
             pltpu.SemaphoreType.DMA(()),
         ],
         interpret=_auto_interpret(interpret),
-    )(src, m.astype(_cdt()), inv, shift, w, b)
+    )(src, m.astype(_cdt())[..., None], inv, shift, w, b)
     part = jnp.sum(s, axis=(0, 1))
     return y, part[0], part[1]
 

