@@ -153,6 +153,7 @@ def evaluate(
     meters: Dict[str, AverageMeter] = {}
     n = imgs.shape[0]
     metric_fn = _jitted_segmentation_metrics()
+    pending = []  # (real, device-metric-dict) — one host sync at the end
     for i in range(0, n, batch):
         xb = np.asarray(imgs[i : i + batch])
         yb = np.asarray(masks[i : i + batch])
@@ -167,7 +168,7 @@ def evaluate(
         logits = eval_fn(state.params, state.batch_stats, jnp.asarray(xb))
         logits = logits[:real]
         yb_real = jnp.asarray(yb[:real])
-        m = {k: float(v) for k, v in metric_fn(logits, yb_real).items()}
+        m = dict(metric_fn(logits, yb_real))
         if host:
             probs = np.asarray(jax.nn.softmax(logits, axis=-1))
             m["hausdorff"] = host_metrics.hausdorff_metric(
@@ -176,8 +177,12 @@ def evaluate(
             m["radius_arteries"] = host_metrics.radius_arteries_metric(
                 np.asarray(logits), np.asarray(yb_real)
             )
+        pending.append((real, m))
+    # One device->host transfer for all batches: a float() per metric per
+    # batch costs a tunnel round-trip each on remote TPU.
+    for real, m in jax.device_get(pending):
         for k, v in m.items():
-            meters.setdefault(k, AverageMeter()).add(v, n=real)
+            meters.setdefault(k, AverageMeter()).add(float(v), n=int(real))
     return {k: mt.mean for k, mt in meters.items()}
 
 
@@ -221,11 +226,14 @@ def fit(
     best = (np.inf, None)
     for ep in range(epochs):
         meters: Dict[str, AverageMeter] = {}
+        step_metrics = []
         for chunk in _batches(imgs_train.shape[0], batch, host_rng, n_dev):
             xb = shard_batch(jnp.asarray(imgs_train[chunk]), mesh)
             yb = shard_batch(jnp.asarray(masks_train[chunk]), mesh)
             state, metrics = step(state, (xb, yb))
-            for k, v in metrics.items():
+            step_metrics.append(metrics)  # device arrays; sync once per epoch
+        for m in jax.device_get(step_metrics):
+            for k, v in m.items():
                 meters.setdefault(k, AverageMeter()).add(float(v))
         for k, mt in meters.items():
             train_logs.setdefault(k, []).append(mt.mean)
