@@ -44,6 +44,10 @@ from cmx.ops.pallas_ops import _auto_interpret
 STRIP = 32
 _EPS = 1e-5
 
+# Use the Pallas backward mega-kernel inside fused_double_conv's VJP
+# (False = hand-derived jnp backward, XLA-fused). Module-level for A/B.
+FUSED_BWD = True
+
 # Kernel compute/storage dtype. bf16 in production (CLAUDE.md precision
 # contract); tests flip this to float32 to compare the hand-derived VJP
 # against autodiff with no rounding-noise ambiguity.
@@ -272,6 +276,170 @@ def conv3x3_mask_stats(
 
 
 # ---------------------------------------------------------------------------
+# Backward mega-kernel: per stage, ONE pass computes the masked-BN dy in
+# VMEM (from g and the raw conv output y + per-channel scalars) and
+# immediately performs both the transposed conv (dX, 9 shifted matmuls
+# against the flipped/transposed weights) and the per-strip dW partials
+# against the recomputed previous activation — the dy tensor and the
+# recomputed h are never materialized in HBM. The tiny per-channel sums
+# (S1 = sum dz, S2 = sum dz*xhat, which are also dbeta/dgamma) come from a
+# single fused XLA reduction pass beforehand (a Pallas version would read
+# the same bytes — no win there).
+# ---------------------------------------------------------------------------
+
+
+def _bwd_mega_kernel(g_hbm, y_hbm, src_hbm, m_hbm, vecs_ref, prevf_ref,
+                     wt_ref, dh_ref, dw_ref, gs, ys, ss, ms, sems,
+                     *, S: int, W: int, pre_h: bool):
+    bi = pl.program_id(0)
+    si = pl.program_id(1)
+    r0 = si * S
+    C = g_hbm.shape[3]
+    Cin = src_hbm.shape[3]
+    last = pl.num_programs(1) - 1
+
+    strips = ((g_hbm, gs, 0), (y_hbm, ys, 1), (src_hbm, ss, 2), (m_hbm, ms, 3))
+    dmas = []
+    for hbm, sc, k in strips:
+        d = pltpu.make_async_copy(
+            hbm.at[bi, pl.ds(r0, S)], sc.at[pl.ds(1, S)], sems.at[k])
+        d.start()
+        dmas.append(d)
+    for hbm, sc, k in strips:
+        @pl.when(si > 0)
+        def _(hbm=hbm, sc=sc, k=k):
+            t = pltpu.make_async_copy(
+                hbm.at[bi, pl.ds(r0 - 1, 1)], sc.at[pl.ds(0, 1)],
+                sems.at[4 + k])
+            t.start()
+            t.wait()
+
+        @pl.when(si == 0)
+        def _(sc=sc):
+            sc[0] = jnp.zeros(sc.shape[1:], sc.dtype)
+
+        @pl.when(si < last)
+        def _(hbm=hbm, sc=sc, k=k):
+            b = pltpu.make_async_copy(
+                hbm.at[bi, pl.ds(r0 + S, 1)], sc.at[pl.ds(S + 1, 1)],
+                sems.at[4 + k])
+            b.start()
+            b.wait()
+
+        @pl.when(si == last)
+        def _(sc=sc):
+            sc[S + 1] = jnp.zeros(sc.shape[1:], sc.dtype)
+    for d in dmas:
+        d.wait()
+
+    inv = vecs_ref[0]
+    shift = vecs_ref[1]
+    mean = vecs_ref[2]
+    rr = vecs_ref[3]
+    s1n = vecs_ref[4]
+    s2n = vecs_ref[5]
+
+    g = gs[...].astype(jnp.float32)
+    y = ys[...].astype(jnp.float32)
+    mm = ms[...].astype(jnp.float32)  # (S+2, W, 1)
+    gate = (y * inv + shift) > 0
+    dz = g * mm * gate
+    xh = (y - mean) * rr
+    dyv = ((mm * inv) * (dz - s1n - xh * s2n)).astype(gs.dtype)
+
+    zc = jnp.zeros((S + 2, 1, C), dyv.dtype)
+    dyp = jnp.concatenate([zc, dyv, zc], axis=1)  # (S+2, W+2, C)
+
+    acc = jnp.zeros((S * W, Cin), jnp.float32)
+    for a in range(3):
+        for b in range(3):
+            tap = dyp[a:a + S, b:b + W].reshape(S * W, C)
+            acc = acc + jnp.dot(tap, wt_ref[a, b],
+                                preferred_element_type=jnp.float32)
+    dh_ref[0] = acc.reshape(S, W, Cin).astype(dh_ref.dtype)
+
+    h = ss[...]
+    if pre_h:
+        hf = h.astype(jnp.float32) * prevf_ref[0, :] + prevf_ref[1, :]
+        h = (jnp.maximum(hf, 0.0) * mm).astype(ss.dtype)
+    zci = jnp.zeros((S + 2, 1, Cin), h.dtype)
+    hp = jnp.concatenate([zci, h, zci], axis=1)
+    dyc = dyp[1:1 + S, 1:1 + W].reshape(S * W, C)
+    parts = []
+    for a in range(3):
+        for b in range(3):
+            taph = hp[a:a + S, b:b + W].reshape(S * W, Cin)
+            parts.append(jax.lax.dot_general(
+                taph, dyc, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32))  # (Cin, C)
+    dw_ref[0, 0] = jnp.concatenate(parts, axis=0)
+
+
+def bwd_mega(g, y, src, m, inv, shift, mean, var, s1, s2, nact, w,
+             prev_fold=None, interpret: Optional[bool] = None):
+    """Fused stage backward. Returns (dh (B,H,W,Cin), dW (3,3,Cin,C)).
+
+    g: upstream grad of this stage's activated output; y: the stage's raw
+    masked conv output; src: previous stage's raw conv output (with
+    prev_fold=(inv_p, shift_p) to recompute h in VMEM) or an
+    already-activated input; s1/s2: global sum(dz), sum(dz*xhat).
+    """
+    B, H, W, C = y.shape
+    Cin = src.shape[3]
+    rr = jax.lax.rsqrt(var + _EPS)
+    zeros = jnp.zeros_like(inv)
+    vecs = jnp.stack([inv, shift, mean, rr, s1 / nact, s2 / nact,
+                      zeros, zeros]).astype(jnp.float32)
+    if prev_fold is None:
+        prevf = jnp.zeros((8, Cin), jnp.float32)
+        pre_h = False
+    else:
+        zi = jnp.zeros((Cin,), jnp.float32)
+        prevf = jnp.stack([prev_fold[0], prev_fold[1],
+                           zi, zi, zi, zi, zi, zi]).astype(jnp.float32)
+        pre_h = True
+    wt = jnp.flip(w, (0, 1)).transpose(0, 1, 3, 2).astype(_cdt())  # (3,3,C,Cin)
+    nS = H // STRIP
+    kernel = functools.partial(_bwd_mega_kernel, S=STRIP, W=W, pre_h=pre_h)
+    dh, dwp = pl.pallas_call(
+        kernel,
+        grid=(B, nS),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((8, C), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, Cin), lambda i, j: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 3, C, Cin), lambda i, j: (0, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, STRIP, W, Cin), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 9 * Cin, C), lambda i, j: (i, j, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, H, W, Cin), _cdt()),
+            jax.ShapeDtypeStruct((B, nS, 9 * Cin, C), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((STRIP + 2, W, C), _cdt()),
+            pltpu.VMEM((STRIP + 2, W, C), _cdt()),
+            pltpu.VMEM((STRIP + 2, W, Cin), _cdt()),
+            pltpu.VMEM((STRIP + 2, W, 1), _cdt()),
+            pltpu.SemaphoreType.DMA((8,)),
+        ],
+        interpret=_auto_interpret(interpret),
+    )(g.astype(_cdt()), y.astype(_cdt()), src.astype(_cdt()),
+      m.astype(_cdt())[..., None], vecs, prevf, wt)
+    dw = jnp.sum(dwp, axis=(0, 1)).reshape(3, 3, Cin, C)
+    return dh, dw
+
+
+# ---------------------------------------------------------------------------
 # The differentiable fused DoubleConv core.
 # ---------------------------------------------------------------------------
 
@@ -364,30 +532,55 @@ def _fused_bwd(interpret, res, cts):
      mean0, var0, mean1, var1, nact) = res
     mf = m.astype(jnp.float32)[..., None]
     red = (0, 1, 2)
+    inv0, shift0 = _fold(g0, be0, mean0, var0)
+    inv1, shift1 = _fold(g1, be1, mean1, var1)
 
-    def stage_bwd(dout, y, mean, var, gamma, beta):
+    def stage_sums(dout, y, mean, var, inv, shift):
+        """One fused XLA pass over (dout, y): (dgamma, dbeta) = the global
+        per-channel sums the masked-BN backward needs."""
+        yf = y.astype(jnp.float32)
+        r = jax.lax.rsqrt(var + _EPS)
+        gate = (yf * inv + shift) > 0
+        dz = dout.astype(jnp.float32) * mf * gate
+        return jnp.sum(dz * ((yf - mean) * r), axis=red), jnp.sum(dz, axis=red)
+
+    def stage_bwd(dout, y, mean, var, gamma, beta, dgamma, dbeta):
         yf = y.astype(jnp.float32)
         r = jax.lax.rsqrt(var + _EPS)
         xhat = (yf - mean) * r
         gate = (gamma * xhat + beta) > 0
         dz = dout.astype(jnp.float32) * mf * gate
-        dgamma = jnp.sum(dz * xhat, axis=red)
-        dbeta = jnp.sum(dz, axis=red)
-        dy = mf * (gamma * r) * (dz - (dbeta + xhat * dgamma) / nact)
-        return dy, dgamma, dbeta
+        return mf * (gamma * r) * (dz - (dbeta + xhat * dgamma) / nact)
 
     # stage 1: out -> y1 -> (h0, w1, b1)
-    dy1, dg1, dbe1 = stage_bwd(g_out, y1, mean1, var1, g1, be1)
-    db1 = jnp.sum(dy1, axis=red)
-    inv0, shift0 = _fold(g0, be0, mean0, var0)
-    h0 = (jnp.maximum(y0.astype(jnp.float32) * inv0 + shift0, 0.0)
-          * mf).astype(_cdt())
-    dh0, dw1 = _conv_vjp(h0, w1, dy1.astype(_cdt()))
+    dg1, dbe1 = stage_sums(g_out, y1, mean1, var1, inv1, shift1)
+    if FUSED_BWD:
+        dh0, dw1 = bwd_mega(g_out, y1, y0, m, inv1, shift1, mean1, var1,
+                            dbe1, dg1, nact, w1, prev_fold=(inv0, shift0),
+                            interpret=interpret)
+        # d(conv bias) is exactly 0 through batch norm (the normalization
+        # absorbs any per-channel shift of active positions — verified vs
+        # fp32 autodiff in tests); the unfused path's nonzero db is bf16
+        # cast noise.
+        db1 = jnp.zeros_like(dbe1)
+    else:
+        dy1 = stage_bwd(g_out, y1, mean1, var1, g1, be1, dg1, dbe1)
+        db1 = jnp.sum(dy1, axis=red)
+        h0 = (jnp.maximum(y0.astype(jnp.float32) * inv0 + shift0, 0.0)
+              * mf).astype(_cdt())
+        dh0, dw1 = _conv_vjp(h0, w1, dy1.astype(_cdt()))
 
     # stage 0: h0 -> y0 -> (x, w0, b0)
-    dy0, dg0, dbe0 = stage_bwd(dh0, y0, mean0, var0, g0, be0)
-    db0 = jnp.sum(dy0, axis=red)
-    dx, dw0 = _conv_vjp(x.astype(_cdt()), w0, dy0.astype(_cdt()))
+    dg0, dbe0 = stage_sums(dh0, y0, mean0, var0, inv0, shift0)
+    if FUSED_BWD and x.shape[-1] >= 8:
+        dx, dw0 = bwd_mega(dh0, y0, x.astype(_cdt()), m, inv0, shift0,
+                           mean0, var0, dbe0, dg0, nact, w0,
+                           prev_fold=None, interpret=interpret)
+        db0 = jnp.zeros_like(dbe0)
+    else:
+        dy0 = stage_bwd(dh0, y0, mean0, var0, g0, be0, dg0, dbe0)
+        db0 = jnp.sum(dy0, axis=red)
+        dx, dw0 = _conv_vjp(x.astype(_cdt()), w0, dy0.astype(_cdt()))
     return (dx.astype(x.dtype), jnp.zeros_like(m),
             dw0.astype(jnp.float32), db0, dg0, dbe0,
             dw1.astype(jnp.float32), db1, dg1, dbe1)

@@ -57,9 +57,13 @@ def test_forward_cin_gt1_dense_mask():
     assert err < 0.02
 
 
-def test_vjp_matches_autodiff_fp32(monkeypatch):
+@pytest.mark.parametrize("cin", [1, 16])
+@pytest.mark.parametrize("mega", [False, True])
+def test_vjp_matches_autodiff_fp32(monkeypatch, cin, mega):
+    """Hand-derived VJP (jnp and Pallas-mega variants) vs fp32 autodiff."""
     monkeypatch.setattr(fc, "COMPUTE_DTYPE", jnp.float32)
-    x, m, params = _inputs()
+    monkeypatch.setattr(fc, "FUSED_BWD", mega)
+    x, m, params = _inputs(cin=cin)
     rng = np.random.default_rng(9)
     probe = jnp.asarray(
         rng.normal(size=(2, 32, 32, 16)).astype(np.float32))
