@@ -127,18 +127,24 @@ def probe(
     tx = optax.adam(lr)
     opt_state = tx.init(params)
 
-    @jax.jit
-    def step(params, opt_state, key):
+    def step(carry, i):
+        params, opt_state = carry
+        key = jax.random.fold_in(k_init, i)
+
         def loss_fn(params):
             logits = _probe_apply(params, x_tr, dropout_rng=key, p=dropout, train=True)
             return optax.softmax_cross_entropy_with_integer_labels(logits, y_tr).mean()
 
         loss, g = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = tx.update(g, opt_state)
-        return optax.apply_updates(params, updates), opt_state, loss
+        return (optax.apply_updates(params, updates), opt_state), loss
 
-    for i in range(steps):
-        params, opt_state, loss = step(params, opt_state, jax.random.fold_in(k_init, i))
+    # One compiled scan instead of `steps` host dispatches (remote-TPU
+    # friendly; same math, same rng stream).
+    (params, opt_state), losses = jax.jit(
+        lambda p, o: jax.lax.scan(step, (p, o), jnp.arange(steps))
+    )(params, opt_state)
+    loss = losses[-1]
 
     def acc(x, y):
         return float(jnp.mean((jnp.argmax(_probe_apply(params, x), -1) == y)))

@@ -186,6 +186,60 @@ def evaluate(
     return {k: mt.mean for k, mt in meters.items()}
 
 
+def _fit_scan(runner, state, imgs_train, masks_train, imgs_valid,
+              masks_valid, *, epochs: int, batch: int, seed: int):
+    """The whole fit compiled as ONE device program: lax.scan over epochs,
+    each iteration = train step(s) + frozen-BN eval on the val set.
+
+    Through a remote-TPU tunnel the host-driven epoch loop pays a dispatch
+    round-trip per step and a sync per epoch (seconds each); this runs a
+    128-epoch fine-tune in one dispatch. Semantics kept from the host loop:
+    per-epoch reshuffle (permutation of the n real samples, wrap-tiled to
+    the batch — exactly `_batches`), best-state by val dice_loss, logs per
+    epoch (the epoch-shuffle RNG stream is jax.random rather than the host
+    numpy generator — documented deviation). Host metrics (hausdorff/
+    radius) are not computed here — callers needing them use the host loop.
+    """
+    n = imgs_train.shape[0]
+    reps = (batch + n - 1) // n
+    xtr = jnp.asarray(imgs_train)
+    ytr = jnp.asarray(masks_train)
+    xva = jnp.asarray(imgs_valid)
+    yva = jnp.asarray(masks_valid)
+    base_key = jax.random.key(np.uint32(seed) ^ np.uint32(0x5EED))
+    step = runner.step
+    eval_fn = runner.eval_fn
+    metric_fn = segmentation_metrics
+
+    def epoch_body(carry, ep):
+        st, best_metric, best_params, best_bs = carry
+        perm = jax.random.permutation(jax.random.fold_in(base_key, ep), n)
+        chunk = jnp.tile(perm, reps)[:batch]
+        st, tm = step(st, (xtr[chunk], ytr[chunk]))
+        logits = eval_fn(st.params, st.batch_stats, xva)
+        vm = metric_fn(logits, yva)
+        better = vm["dice_loss"] < best_metric
+        best_metric = jnp.where(better, vm["dice_loss"], best_metric)
+        best_params = jax.tree.map(
+            lambda a, b: jnp.where(better, a, b), st.params, best_params)
+        best_bs = jax.tree.map(
+            lambda a, b: jnp.where(better, a, b), st.batch_stats, best_bs)
+        return (st, best_metric, best_params, best_bs), (tm, vm)
+
+    @jax.jit
+    def run(state):
+        init = (state, jnp.inf, state.params, state.batch_stats)
+        (st, _, bp, bbs), (tms, vms) = jax.lax.scan(
+            epoch_body, init, jnp.arange(epochs))
+        return st.replace(params=bp, batch_stats=bbs), tms, vms
+
+    state, tms, vms = run(state)
+    tms, vms = jax.device_get((tms, vms))
+    train_logs = {k: [float(x) for x in v] for k, v in tms.items()}
+    valid_logs = {k: [float(x) for x in v] for k, v in vms.items()}
+    return state, train_logs, valid_logs
+
+
 def fit(
     imgs_train: np.ndarray,
     masks_train: np.ndarray,
@@ -205,7 +259,9 @@ def fit(
     """One supervised fine-tune run (the reference's `train`, train.py:193-214).
 
     Adam(lr) like Finetuning/train.py:341/389; per-epoch valid metrics; best
-    state kept by dice_loss.
+    state kept by dice_loss. When the fine-tune set fits one batch and no
+    host metrics are requested (the reference's 79/1 regime), the whole run
+    executes as a single compiled scan (_fit_scan).
     """
     t0 = time.time()
     runner = get_runner(model, augment)
@@ -215,6 +271,18 @@ def fit(
             jax.random.key(seed), jnp.asarray(imgs_train[:1])
         )
     state = runner.make_state(init_variables, lr, seed)
+
+    if imgs_train.shape[0] <= batch and not host_metrics_every:
+        state, train_logs, valid_logs = _fit_scan(
+            runner, state, imgs_train, masks_train, imgs_valid, masks_valid,
+            epochs=epochs, batch=batch, seed=seed)
+        best_ep = find_best_epochs(valid_logs)
+        if verbose:
+            print(f"scan-fit {epochs} epochs: train {train_logs['loss'][-1]:.4f} "
+                  f"best valid dice_loss {min(valid_logs['dice_loss']):.4f}")
+        return FitResult(train_logs, valid_logs, best_ep,
+                         time.time() - t0, state)
+
     mesh = make_mesh()
     n_dev = len(mesh.devices.ravel())
     step = runner.step

@@ -57,21 +57,28 @@ def bench(step, state, imgs, n=12, warmup=4):
 
 
 def main():
+    from cmx.ops import fused_conv as fc
+
     results = {}
-    for fused in (False, True):
+    configs = [("baseline", False, False), ("fwd", True, False),
+               ("fwd+bwd", True, True)]
+    for name, fused, mega in configs:
+        fc.FUSED_BWD = mega
         t0 = time.time()
         step, state, imgs = build(fused)
         dt, loss = bench(step, state, imgs)
-        results[fused] = {"step_ms": round(dt * 1e3, 1),
-                          "img_s": round(BATCH / dt, 1), "loss": loss}
-        print(json.dumps({"fused": fused, **results[fused],
+        results[name] = {"step_ms": round(dt * 1e3, 1),
+                         "img_s": round(BATCH / dt, 1), "loss": loss}
+        print(json.dumps({"config": name, **results[name],
                           "setup_s": round(time.time() - t0, 1)}), flush=True)
-    if results[True]["loss"] and results[False]["loss"]:
-        rel = abs(results[True]["loss"] - results[False]["loss"]) / (
-            abs(results[False]["loss"]) + 1e-9)
-        print(json.dumps({"loss_rel_diff": round(rel, 5),
-                          "speedup": round(results[False]["step_ms"]
-                                           / results[True]["step_ms"], 4)}),
+    base = results["baseline"]
+    for name in ("fwd", "fwd+bwd"):
+        rel = abs(results[name]["loss"] - base["loss"]) / (
+            abs(base["loss"]) + 1e-9)
+        print(json.dumps({"config": name,
+                          "loss_rel_diff": round(rel, 5),
+                          "speedup": round(base["step_ms"]
+                                           / results[name]["step_ms"], 4)}),
               flush=True)
 
 
