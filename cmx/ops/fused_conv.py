@@ -134,89 +134,84 @@ def make_patches9(x: jnp.ndarray) -> jnp.ndarray:
 # ---------------------------------------------------------------------------
 # K2 general kernel: [optional in-VMEM normalize+ReLU+mask of the input] ->
 # 3x3 conv (9 shifted matmuls over a halo strip) -> +bias -> mask -> stats.
-# Input arrives via manual HBM->VMEM DMA because blocks need a 1-row halo.
+#
+# Halo handling: the 1-row top/bottom neighbors arrive as separate
+# pre-sliced block inputs (built by one cheap XLA strided slice outside the
+# kernel, ~2/STRIP of a full pass). Manual HBM->VMEM halo DMA is NOT used:
+# Mosaic cannot lower row-sliced DMAs from refs whose minor dim is under
+# the 128-lane tiling (every 64-channel feature map and the 1-channel
+# mask), and plain blocks get pallas's automatic double-buffered
+# pipelining for free.
 # ---------------------------------------------------------------------------
 
 
-def _conv_kernel(src_hbm, m_hbm, inv_ref, shift_ref, w_ref, b_ref,
-                 y_ref, s_ref, xs, ms, sem0, sem1, sem2, sem3,
-                 *, S: int, H: int, W: int, pre_norm: bool):
-    bi = pl.program_id(0)
-    si = pl.program_id(1)
-    r0 = si * S
-    Cin = src_hbm.shape[3]
+def _halo_rows(x: jnp.ndarray, S: int):
+    """(B,H,...) -> (tops, bots), each (B, nS, ...): the row above/below
+    every S-row strip, zeros at the image border (= conv SAME padding)."""
+    H = x.shape[1]
+    z = jnp.zeros_like(x[:, :1])
+    tops = jnp.concatenate([z, x[:, S - 1:H - 1:S]], axis=1)
+    bots = jnp.concatenate([x[:, S:H:S], z], axis=1)
+    return tops, bots
+
+
+def _strip_specs(W: int, C: int):
+    """Block specs for (strip, top halo row, bottom halo row) of one
+    (B,H,W,C) array passed as x, tops (B,nS,W,C), bots (B,nS,W,C)."""
+    return [
+        pl.BlockSpec((1, STRIP, W, C), lambda i, j: (i, j, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, W, C), lambda i, j: (i, j, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, W, C), lambda i, j: (i, j, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+
+
+def _with_halo(blk_ref, top_ref, bot_ref):
+    """(1,S,W,C) + (1,1,W,C) x2 block refs -> (S+2,W,C) value."""
+    return jnp.concatenate([top_ref[0], blk_ref[0], bot_ref[0]], axis=0)
+
+
+def _conv_strip(h, w_ref, b_ref, mm_center, S, W):
+    """Activated halo strip (S+2,W,Cin) -> masked biased conv (S*W,C) fp32."""
+    Cin = h.shape[-1]
     C = w_ref.shape[3]
-
-    # --- load the (S+2)-row halo strip: main rows + guarded edge rows.
-    main = pltpu.make_async_copy(
-        src_hbm.at[bi, pl.ds(r0, S)], xs.at[pl.ds(1, S)], sem0)
-    main.start()
-    mmain = pltpu.make_async_copy(
-        m_hbm.at[bi, pl.ds(r0, S)], ms.at[pl.ds(1, S)], sem1)
-    mmain.start()
-
-    @pl.when(si > 0)
-    def _():
-        top = pltpu.make_async_copy(
-            src_hbm.at[bi, pl.ds(r0 - 1, 1)], xs.at[pl.ds(0, 1)], sem2)
-        top.start()
-        top.wait()
-        mt = pltpu.make_async_copy(
-            m_hbm.at[bi, pl.ds(r0 - 1, 1)], ms.at[pl.ds(0, 1)], sem2)
-        mt.start()
-        mt.wait()
-
-    @pl.when(si == 0)
-    def _():
-        xs[0] = jnp.zeros((W, Cin), xs.dtype)
-        ms[0] = jnp.zeros((W, 1), ms.dtype)
-
-    @pl.when(si < pl.num_programs(1) - 1)
-    def _():
-        bot = pltpu.make_async_copy(
-            src_hbm.at[bi, pl.ds(r0 + S, 1)], xs.at[pl.ds(S + 1, 1)], sem3)
-        bot.start()
-        bot.wait()
-        mb = pltpu.make_async_copy(
-            m_hbm.at[bi, pl.ds(r0 + S, 1)], ms.at[pl.ds(S + 1, 1)], sem3)
-        mb.start()
-        mb.wait()
-
-    @pl.when(si == pl.num_programs(1) - 1)
-    def _():
-        xs[S + 1] = jnp.zeros((W, Cin), xs.dtype)
-        ms[S + 1] = jnp.zeros((W, 1), ms.dtype)
-
-    main.wait()
-    mmain.wait()
-
-    h = xs[...]
-    if pre_norm:
-        # stage-0 epilogue, fused into this conv's input read: the activated
-        # tensor exists only in VMEM.
-        hf = h.astype(jnp.float32) * inv_ref[...] + shift_ref[...]
-        h = (jnp.maximum(hf, 0.0)
-             * ms[...].astype(jnp.float32)).astype(xs.dtype)
-
-    # --- 3x3 conv as 9 shifted (S*W, Cin) @ (Cin, C) matmuls. W-dim shifts
-    # come from column-sliced copies of the strip (sublane shifts).
-    acc = jnp.zeros((S * W, C), jnp.float32)
     zcol = jnp.zeros((S + 2, 1, Cin), h.dtype)
     hpad = jnp.concatenate([zcol, h, zcol], axis=1)  # (S+2, W+2, Cin)
+    acc = jnp.zeros((S * W, C), jnp.float32)
     for dy in range(3):
         for dx in range(3):
             tap = hpad[dy:dy + S, dx:dx + W].reshape(S * W, Cin)
             acc = acc + jnp.dot(tap, w_ref[dy, dx],
                                 preferred_element_type=jnp.float32)
     acc = acc + b_ref[...].astype(jnp.float32)
-    mm = ms[pl.ds(1, S)].reshape(S * W, 1).astype(jnp.float32)
-    acc = acc * mm
-    y_ref[0] = acc.reshape(S, W, C).astype(y_ref.dtype)
+    return acc * mm_center
+
+
+def _stats_rows(acc, C):
     ssum = jnp.sum(acc, axis=0)
     sq = jnp.sum(acc * acc, axis=0)
     rows = jax.lax.broadcasted_iota(jnp.int32, (8, C), 0)
-    s_ref[0, 0] = jnp.where(rows == 0, ssum[None, :],
-                            jnp.where(rows == 1, sq[None, :], 0.0))
+    return jnp.where(rows == 0, ssum[None, :],
+                     jnp.where(rows == 1, sq[None, :], 0.0))
+
+
+def _conv_kernel(xb, xt, xbo, mb, mt, mbo, inv_ref, shift_ref, w_ref, b_ref,
+                 y_ref, s_ref, *, S: int, W: int, pre_norm: bool):
+    h = _with_halo(xb, xt, xbo)          # (S+2, W, Cin)
+    mm = _with_halo(mb, mt, mbo)         # (S+2, W, 1)
+    if pre_norm:
+        # stage-0 epilogue, fused into this conv's input read: the activated
+        # tensor exists only in VMEM.
+        hf = h.astype(jnp.float32) * inv_ref[...] + shift_ref[...]
+        h = (jnp.maximum(hf, 0.0)
+             * mm.astype(jnp.float32)).astype(xb.dtype)
+    mm_center = mm[1:1 + S].reshape(S * W, 1).astype(jnp.float32)
+    acc = _conv_strip(h, w_ref, b_ref, mm_center, S, W)
+    C = w_ref.shape[3]
+    y_ref[0] = acc.reshape(S, W, C).astype(y_ref.dtype)
+    s_ref[0, 0] = _stats_rows(acc, C)
 
 
 def conv3x3_mask_stats(
@@ -237,14 +232,18 @@ def conv3x3_mask_stats(
         inv = jnp.ones((Cin,), jnp.float32)
         shift = jnp.zeros((Cin,), jnp.float32)
     nS = H // STRIP
+    src = src.astype(_cdt())
+    m4 = m.astype(_cdt())[..., None]
+    st, sb = _halo_rows(src, STRIP)
+    mt_, mb_ = _halo_rows(m4, STRIP)
     kernel = functools.partial(
-        _conv_kernel, S=STRIP, H=H, W=W, pre_norm=pre_norm)
+        _conv_kernel, S=STRIP, W=W, pre_norm=pre_norm)
     y, s = pl.pallas_call(
         kernel,
         grid=(B, nS),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),  # src stays in HBM (halo DMA)
-            pl.BlockSpec(memory_space=pl.ANY),  # mask idem
+            *_strip_specs(W, Cin),
+            *_strip_specs(W, 1),
             pl.BlockSpec((Cin,), lambda i, j: (0,), memory_space=pltpu.VMEM),
             pl.BlockSpec((Cin,), lambda i, j: (0,), memory_space=pltpu.VMEM),
             pl.BlockSpec((3, 3, Cin, C), lambda i, j: (0, 0, 0, 0),
@@ -261,16 +260,8 @@ def conv3x3_mask_stats(
             jax.ShapeDtypeStruct((B, H, W, C), _cdt()),
             jax.ShapeDtypeStruct((B, nS, 8, C), jnp.float32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((STRIP + 2, W, Cin), _cdt()),
-            pltpu.VMEM((STRIP + 2, W, 1), _cdt()),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
-        ],
         interpret=_auto_interpret(interpret),
-    )(src, m.astype(_cdt())[..., None], inv, shift, w, b)
+    )(src, st, sb, m4, mt_, mb_, inv, shift, w, b)
     part = jnp.sum(s, axis=(0, 1))
     return y, part[0], part[1]
 
@@ -288,49 +279,14 @@ def conv3x3_mask_stats(
 # ---------------------------------------------------------------------------
 
 
-def _bwd_mega_kernel(g_hbm, y_hbm, src_hbm, m_hbm, vecs_ref, prevf_ref,
-                     wt_ref, dh_ref, dw_ref, gs, ys, ss, ms, sems,
+def _bwd_mega_kernel(gb, gt, gbo, yb, yt, ybo, sb, st_, sbo, mb, mt, mbo,
+                     vecs_ref, prevf_ref, wt_ref, dh_ref, dw_ref,
                      *, S: int, W: int, pre_h: bool):
-    bi = pl.program_id(0)
-    si = pl.program_id(1)
-    r0 = si * S
-    C = g_hbm.shape[3]
-    Cin = src_hbm.shape[3]
-    last = pl.num_programs(1) - 1
-
-    strips = ((g_hbm, gs, 0), (y_hbm, ys, 1), (src_hbm, ss, 2), (m_hbm, ms, 3))
-    dmas = []
-    for hbm, sc, k in strips:
-        d = pltpu.make_async_copy(
-            hbm.at[bi, pl.ds(r0, S)], sc.at[pl.ds(1, S)], sems.at[k])
-        d.start()
-        dmas.append(d)
-    for hbm, sc, k in strips:
-        @pl.when(si > 0)
-        def _(hbm=hbm, sc=sc, k=k):
-            t = pltpu.make_async_copy(
-                hbm.at[bi, pl.ds(r0 - 1, 1)], sc.at[pl.ds(0, 1)],
-                sems.at[4 + k])
-            t.start()
-            t.wait()
-
-        @pl.when(si == 0)
-        def _(sc=sc):
-            sc[0] = jnp.zeros(sc.shape[1:], sc.dtype)
-
-        @pl.when(si < last)
-        def _(hbm=hbm, sc=sc, k=k):
-            b = pltpu.make_async_copy(
-                hbm.at[bi, pl.ds(r0 + S, 1)], sc.at[pl.ds(S + 1, 1)],
-                sems.at[4 + k])
-            b.start()
-            b.wait()
-
-        @pl.when(si == last)
-        def _(sc=sc):
-            sc[S + 1] = jnp.zeros(sc.shape[1:], sc.dtype)
-    for d in dmas:
-        d.wait()
+    C = gb.shape[3]
+    Cin = sb.shape[3]
+    g = _with_halo(gb, gt, gbo).astype(jnp.float32)   # (S+2, W, C)
+    y = _with_halo(yb, yt, ybo).astype(jnp.float32)
+    mm = _with_halo(mb, mt, mbo).astype(jnp.float32)  # (S+2, W, 1)
 
     inv = vecs_ref[0]
     shift = vecs_ref[1]
@@ -339,13 +295,10 @@ def _bwd_mega_kernel(g_hbm, y_hbm, src_hbm, m_hbm, vecs_ref, prevf_ref,
     s1n = vecs_ref[4]
     s2n = vecs_ref[5]
 
-    g = gs[...].astype(jnp.float32)
-    y = ys[...].astype(jnp.float32)
-    mm = ms[...].astype(jnp.float32)  # (S+2, W, 1)
     gate = (y * inv + shift) > 0
     dz = g * mm * gate
     xh = (y - mean) * rr
-    dyv = ((mm * inv) * (dz - s1n - xh * s2n)).astype(gs.dtype)
+    dyv = ((mm * inv) * (dz - s1n - xh * s2n)).astype(gb.dtype)
 
     zc = jnp.zeros((S + 2, 1, C), dyv.dtype)
     dyp = jnp.concatenate([zc, dyv, zc], axis=1)  # (S+2, W+2, C)
@@ -358,10 +311,10 @@ def _bwd_mega_kernel(g_hbm, y_hbm, src_hbm, m_hbm, vecs_ref, prevf_ref,
                                 preferred_element_type=jnp.float32)
     dh_ref[0] = acc.reshape(S, W, Cin).astype(dh_ref.dtype)
 
-    h = ss[...]
+    h = _with_halo(sb, st_, sbo)
     if pre_h:
         hf = h.astype(jnp.float32) * prevf_ref[0, :] + prevf_ref[1, :]
-        h = (jnp.maximum(hf, 0.0) * mm).astype(ss.dtype)
+        h = (jnp.maximum(hf, 0.0) * mm).astype(sb.dtype)
     zci = jnp.zeros((S + 2, 1, Cin), h.dtype)
     hp = jnp.concatenate([zci, h, zci], axis=1)
     dyc = dyp[1:1 + S, 1:1 + W].reshape(S * W, C)
@@ -382,8 +335,8 @@ def bwd_mega(g, y, src, m, inv, shift, mean, var, s1, s2, nact, w,
     g: upstream grad of this stage's activated output; y: the stage's raw
     masked conv output; src: previous stage's raw conv output (with
     prev_fold=(inv_p, shift_p) to recompute h in VMEM) or an
-    already-activated input; s1/s2: global sum(dz), sum(dz*xhat).
-    """
+    already-activated input; s1/s2: global sum(dz), sum(dz*xhat). Halo
+    rows arrive as pre-sliced block inputs (see the K2 section note)."""
     B, H, W, C = y.shape
     Cin = src.shape[3]
     rr = jax.lax.rsqrt(var + _EPS)
@@ -400,15 +353,23 @@ def bwd_mega(g, y, src, m, inv, shift, mean, var, s1, s2, nact, w,
         pre_h = True
     wt = jnp.flip(w, (0, 1)).transpose(0, 1, 3, 2).astype(_cdt())  # (3,3,C,Cin)
     nS = H // STRIP
+    g = g.astype(_cdt())
+    y = y.astype(_cdt())
+    src = src.astype(_cdt())
+    m4 = m.astype(_cdt())[..., None]
+    gt, gbo = _halo_rows(g, STRIP)
+    yt, ybo = _halo_rows(y, STRIP)
+    st_, sbo = _halo_rows(src, STRIP)
+    mt, mbo = _halo_rows(m4, STRIP)
     kernel = functools.partial(_bwd_mega_kernel, S=STRIP, W=W, pre_h=pre_h)
     dh, dwp = pl.pallas_call(
         kernel,
         grid=(B, nS),
         in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
+            *_strip_specs(W, C),
+            *_strip_specs(W, C),
+            *_strip_specs(W, Cin),
+            *_strip_specs(W, 1),
             pl.BlockSpec((8, C), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, Cin), lambda i, j: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -425,16 +386,8 @@ def bwd_mega(g, y, src, m, inv, shift, mean, var, s1, s2, nact, w,
             jax.ShapeDtypeStruct((B, H, W, Cin), _cdt()),
             jax.ShapeDtypeStruct((B, nS, 9 * Cin, C), jnp.float32),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((STRIP + 2, W, C), _cdt()),
-            pltpu.VMEM((STRIP + 2, W, C), _cdt()),
-            pltpu.VMEM((STRIP + 2, W, Cin), _cdt()),
-            pltpu.VMEM((STRIP + 2, W, 1), _cdt()),
-            pltpu.SemaphoreType.DMA((8,)),
-        ],
         interpret=_auto_interpret(interpret),
-    )(g.astype(_cdt()), y.astype(_cdt()), src.astype(_cdt()),
-      m.astype(_cdt())[..., None], vecs, prevf, wt)
+    )(g, gt, gbo, y, yt, ybo, src, st_, sbo, m4, mt, mbo, vecs, prevf, wt)
     dw = jnp.sum(dwp, axis=(0, 1)).reshape(3, 3, Cin, C)
     return dh, dw
 
