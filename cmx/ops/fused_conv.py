@@ -58,6 +58,13 @@ def _cdt():
     return COMPUTE_DTYPE
 
 
+# The K2/mega kernels' in-kernel temporaries (fp32 strip casts, 9 conv tap
+# products, the fp32 accumulator) exceed Mosaic's conservative 16M default
+# scoped-VMEM budget at STRIP=32; v5e has 128M physical VMEM (round-2 flag
+# sweep ran scoped-vmem at 48/96M without issue).
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
+
+
 # ---------------------------------------------------------------------------
 # K1 stem kernel: im2col matmul + mask + inline stats (no halo needed — the
 # 9-tap patches are pre-built by XLA for the 1-channel input, which is tiny).
@@ -118,6 +125,7 @@ def conv_stem_stats(
             jax.ShapeDtypeStruct((B, nS, 8, C), jnp.float32),
         ),
         interpret=_auto_interpret(interpret),
+        compiler_params=_COMPILER_PARAMS,
     )(patches, m[..., None], w, b)
     part = jnp.sum(s, axis=(0, 1))  # (8, C)
     return y, part[0], part[1]
@@ -261,6 +269,7 @@ def conv3x3_mask_stats(
             jax.ShapeDtypeStruct((B, nS, 8, C), jnp.float32),
         ),
         interpret=_auto_interpret(interpret),
+        compiler_params=_COMPILER_PARAMS,
     )(src, st, sb, m4, mt_, mb_, inv, shift, w, b)
     part = jnp.sum(s, axis=(0, 1))
     return y, part[0], part[1]
@@ -387,6 +396,7 @@ def bwd_mega(g, y, src, m, inv, shift, mean, var, s1, s2, nact, w,
             jax.ShapeDtypeStruct((B, nS, 9 * Cin, C), jnp.float32),
         ),
         interpret=_auto_interpret(interpret),
+        compiler_params=_COMPILER_PARAMS,
     )(g, gt, gbo, y, yt, ybo, src, st_, sbo, m4, mt, mbo, vecs, prevf, wt)
     dw = jnp.sum(dwp, axis=(0, 1)).reshape(3, 3, Cin, C)
     return dh, dw
