@@ -24,6 +24,9 @@ from cmx.utils.seeding import seed_everything
 
 
 def main(argv: Optional[list] = None) -> None:
+    from cmx.utils.compile_cache import enable_default_cache
+
+    enable_default_cache()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--encoder", default=None, help="encoder.npz to load")
     p.add_argument("--probe", nargs="?", const=512, default=None, type=int,

@@ -23,6 +23,9 @@ from cmx.utils.seeding import seed_everything
 
 
 def main(argv: Optional[list] = None) -> None:
+    from cmx.utils.compile_cache import enable_default_cache
+
+    enable_default_cache()
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--pretrained", "-p", default=None,
                    help="encoder.npz exported by a pretraining run")

@@ -144,6 +144,9 @@ def main(argv: Optional[list] = None) -> None:
     p.add_argument("overrides", nargs="*", help="dotted config overrides a.b=c")
     args = p.parse_args(argv)
 
+    from cmx.utils.compile_cache import enable_default_cache
+
+    enable_default_cache()
     initialize_distributed()
     cfg = Config()
     cfg.task.name = args.task or cfg.task.name
