@@ -137,6 +137,9 @@ class DoubleConv(nn.Module):
     fused_min_hw: int = 128  # only stages at >= this resolution are
     # bandwidth-bound (RESULTS.md round-2 per-level table); deeper stages
     # run at 66-74% MFU under XLA and keep the plain path.
+    fused_impl: str = "flat"  # "flat" = channel-major (B,C,H*W) kernels
+    # (no Mosaic lane-padding tax); "nhwc" = the strip kernels (kept for
+    # A/B — they pay padded HBM copies on sub-128-channel tensors).
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None):
@@ -177,8 +180,18 @@ class DoubleConv(nn.Module):
                 m = jnp.ones(x.shape[:3], jnp.bfloat16)
             else:
                 m = (mask[..., 0] if mask.ndim == 4 else mask)
-            out, (mean0, var0, mean1, var1) = fc.fused_double_conv(
-                x.astype(self.dtype), m, *params)
+            if self.fused_impl == "flat":
+                from cmx.ops import fused_conv_flat as ff
+
+                B, H, Wd, _ = x.shape
+                xf = ff.nhwc_to_flat(x.astype(self.dtype))
+                mflat = m.reshape(B, 1, H * Wd)
+                outf, (mean0, var0, mean1, var1) = ff.flat_double_conv(
+                    xf, mflat, *params, H, Wd)
+                out = ff.flat_to_nhwc(outf, H, Wd)
+            else:
+                out, (mean0, var0, mean1, var1) = fc.fused_double_conv(
+                    x.astype(self.dtype), m, *params)
             bns[0](None, precomputed=(mean0, var0))
             bns[1](None, precomputed=(mean1, var1))
             return out

@@ -143,3 +143,58 @@ def test_spark_step_fused_close_to_unfused(monkeypatch):
         assert np.isfinite(losses[fused])
     assert abs(losses[True] - losses[False]) < 0.05 * (
         abs(losses[False]) + 1e-3)
+
+
+@pytest.mark.parametrize("cin", [1, 16])
+def test_flat_vjp_matches_autodiff_fp32(monkeypatch, cin):
+    """Flat-layout core (channel-major kernels) vs fp32 autodiff."""
+    monkeypatch.setattr(fc, "COMPUTE_DTYPE", jnp.float32)
+    from cmx.ops import fused_conv_flat as ff
+
+    x, m, params = _inputs(cin=cin)
+    B, H, W, _ = x.shape
+    rng = np.random.default_rng(9)
+    probe = jnp.asarray(rng.normal(size=(B, H, W, 16)).astype(np.float32))
+    probef = ff.nhwc_to_flat(probe)
+
+    def loss_flat(x, *p):
+        out, _ = ff.flat_double_conv(
+            ff.nhwc_to_flat(x), m.reshape(B, 1, H * W), *p, H, W)
+        return jnp.sum(out.astype(jnp.float32) * probef)
+
+    def loss_ref(x, *p):
+        out, _ = fc.double_conv_reference(x, m, *p)
+        return jnp.sum(out.astype(jnp.float32) * probe)
+
+    gf = jax.grad(loss_flat, argnums=tuple(range(9)))(x, *params)
+    gr = jax.grad(loss_ref, argnums=tuple(range(9)))(x, *params)
+    for name, a, b in zip(
+            ["dx", "dw0", "db0", "dg0", "dbe0", "dw1", "db1", "dg1", "dbe1"],
+            gf, gr):
+        scale = float(jnp.max(jnp.abs(b)))
+        if scale < 1e-2:
+            assert float(jnp.max(jnp.abs(a))) < 1e-2, name
+        else:
+            err = float(jnp.max(jnp.abs(a - b))) / scale
+            assert err < 1e-4, (name, err)
+
+
+def test_module_fused_flat_equals_unfused():
+    from cmx.models.blocks import DoubleConv
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 1)).astype(np.float32))
+    mask = jnp.asarray((rng.random((2, 32, 32, 1)) > 0.4).astype(np.float32))
+    mu = DoubleConv(16, dtype=jnp.bfloat16, fused=False)
+    mf = DoubleConv(16, dtype=jnp.bfloat16, fused=True, fused_min_hw=0,
+                    fused_impl="flat")
+    vu = mu.init(jax.random.key(0), x, mask)
+    ou, su = mu.apply(vu, x, mask, mutable=["batch_stats"])
+    of, sf = mf.apply(vu, x, mask, mutable=["batch_stats"])
+    scale = float(jnp.max(jnp.abs(ou.astype(jnp.float32)))) + 1e-6
+    assert float(jnp.max(jnp.abs(
+        ou.astype(jnp.float32) - of.astype(jnp.float32)))) / scale < 0.02
+    diffs = jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))),
+        su["batch_stats"], sf["batch_stats"]))
+    assert max(diffs) < 5e-2
