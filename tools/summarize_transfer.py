@@ -25,7 +25,7 @@ def main():
             "dice": d["dice"],
             "dice_loss": tm.get("dice_loss"),
             "iou_loss": tm.get("iou_loss"),
-            "cldice": tm.get("cldice_loss", tm.get("soft_cldice")),
+            "cldice": tm.get("soft_clDice"),
             "hausdorff": tm.get("hausdorff"),
             "lr": d["hypers"]["lr"],
         })
