@@ -140,6 +140,9 @@ class DoubleConv(nn.Module):
     fused_impl: str = "flat"  # "flat" = channel-major (B,C,H*W) kernels
     # (no Mosaic lane-padding tax); "nhwc" = the strip kernels (kept for
     # A/B — they pay padded HBM copies on sub-128-channel tensors).
+    fused_max_cin: int = 128  # widest fused input: the 256-channel decoder
+    # concat stage's extra flat-layout residuals push the b128 SparK step
+    # ~100 MB past HBM; its XLA path already runs at ~50%+ MFU.
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None):
@@ -156,6 +159,7 @@ class DoubleConv(nn.Module):
             and x.shape[1] >= self.fused_min_hw
             and x.shape[1] % fc.STRIP == 0
             and x.shape[2] % 8 == 0
+            and x.shape[-1] <= self.fused_max_cin
         )
         if use_fused:
             cin = x.shape[-1]

@@ -96,8 +96,20 @@ def _flat_conv_kernel(xb, xt, xbo, mb, inv_ref, shift_ref, w_ref, b_ref,
     ssum = jnp.sum(acc, axis=1)  # (C,)
     sq = jnp.sum(acc * acc, axis=1)
     rows = jax.lax.broadcasted_iota(jnp.int32, (8, C), 0)
-    s_ref[0, 0] = jnp.where(rows == 0, ssum[None, :],
-                            jnp.where(rows == 1, sq[None, :], 0.0))
+    part = jnp.where(rows == 0, ssum[None, :],
+                     jnp.where(rows == 1, sq[None, :], 0.0))
+    # TPU grids run sequentially and this output block's index is constant,
+    # so it stays resident in VMEM: accumulate across ALL programs instead
+    # of materializing (B, nS, 8, C) partials in HBM.
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _():
+        s_ref[0, 0] = part
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        s_ref[0, 0] = s_ref[0, 0] + part
 
 
 def flat_conv3x3_mask_stats(
@@ -170,18 +182,17 @@ def flat_conv3x3_mask_stats(
         out_specs=(
             pl.BlockSpec((1, C, L), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 8, C), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, 1, 8, C), lambda i, j: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, C, HW), src.dtype),
-            jax.ShapeDtypeStruct((B, nS, 8, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1, 8, C), jnp.float32),
         ),
         interpret=_auto_interpret(interpret),
         compiler_params=_COMPILER_PARAMS,
     )(src, tops, bots, mask_arg, w_inv, w_shift, wk, b[:, None])
-    part = jnp.sum(s, axis=(0, 1))
-    return y, part[0], part[1]
+    return y, s[0, 0, 0], s[0, 0, 1]
 
 # ---------------------------------------------------------------------------
 # Flat backward mega-kernel (analog of fused_conv._bwd_mega_kernel): one
@@ -245,7 +256,16 @@ def _flat_bwd_kernel(gb, gt, gbo, yb, yt, ybo, sb, st_, sbo, mb,
             parts.append(jax.lax.dot_general(
                 taph, dyc, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32))  # (Cin, C)
-    dw_ref[0, 0] = jnp.concatenate(parts, axis=0)
+    dwp = jnp.concatenate(parts, axis=0)
+    first = (pl.program_id(0) == 0) & (pl.program_id(1) == 0)
+
+    @pl.when(first)
+    def _():
+        dw_ref[0, 0] = dwp
+
+    @pl.when(jnp.logical_not(first))
+    def _():
+        dw_ref[0, 0] = dw_ref[0, 0] + dwp
 
 
 def flat_bwd_mega(g, y, src, m, inv, shift, mean, var, s1, s2, nact, w,
@@ -328,17 +348,17 @@ def flat_bwd_mega(g, y, src, m, inv, shift, mean, var, s1, s2, nact, w,
         out_specs=(
             pl.BlockSpec((1, Cin, L), lambda i, j: (i, 0, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 9 * Cin, C), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, 1, 9 * Cin, C), lambda i, j: (0, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, Cin, HW), y.dtype),
-            jax.ShapeDtypeStruct((B, nS, 9 * Cin, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1, 9 * Cin, C), jnp.float32),
         ),
         interpret=_auto_interpret(interpret),
         compiler_params=_COMPILER_PARAMS,
     )(g, gt, gbo, y, yt, ybo, src, st_, sbo, mfull, vecs, prevf, wtk)
-    dw = jnp.sum(dwp, axis=(0, 1)).reshape(3, 3, Cin, C)
+    dw = dwp[0, 0].reshape(3, 3, Cin, C)
     return dh, dw
 
 

@@ -56,6 +56,9 @@ class SparKModel(nn.Module):
     dtype: Dtype = jnp.bfloat16
     use_running_average: bool = False
     fused: bool = False
+    fused_decoder: bool = False  # decoder fusion pays NHWC<->flat layout
+    # copies at every concat boundary (RESULTS.md round 3); encoder-only is
+    # the profitable scope.
 
     @nn.compact
     def __call__(self, imgs: jnp.ndarray, active_grid: jnp.ndarray):
@@ -109,7 +112,7 @@ class SparKModel(nn.Module):
                 out_classes=1,
                 dtype=self.dtype,
                 use_running_average=self.use_running_average,
-                fused=self.fused,
+                fused=self.fused and self.fused_decoder,
                 name="decoder",
             )(to_dec[0], list(reversed(to_dec[1:])))
         else:
