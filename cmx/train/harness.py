@@ -193,7 +193,9 @@ def _fit_scan(runner, state, imgs_train, masks_train, imgs_valid,
 
     Through a remote-TPU tunnel the host-driven epoch loop pays a dispatch
     round-trip per step and a sync per epoch (seconds each); this runs a
-    128-epoch fine-tune in one dispatch. Semantics kept from the host loop:
+    128-epoch fine-tune in one dispatch (inner lax.scan over the epoch's
+    steps, epoch metrics = step means like the host meters). Semantics
+    kept from the host loop:
     per-epoch reshuffle (permutation of the n real samples, wrap-tiled to
     the batch — exactly `_batches`), best-state by val dice_loss, logs per
     epoch (the epoch-shuffle RNG stream is jax.random rather than the host
@@ -201,7 +203,8 @@ def _fit_scan(runner, state, imgs_train, masks_train, imgs_valid,
     radius) are not computed here — callers needing them use the host loop.
     """
     n = imgs_train.shape[0]
-    reps = (batch + n - 1) // n
+    spe = -(-n // batch)  # steps per epoch, last chunk wrap-padded
+    reps = (spe * batch + n - 1) // n
     xtr = jnp.asarray(imgs_train)
     ytr = jnp.asarray(masks_train)
     xva = jnp.asarray(imgs_valid)
@@ -214,8 +217,13 @@ def _fit_scan(runner, state, imgs_train, masks_train, imgs_valid,
     def epoch_body(carry, ep):
         st, best_metric, best_params, best_bs = carry
         perm = jax.random.permutation(jax.random.fold_in(base_key, ep), n)
-        chunk = jnp.tile(perm, reps)[:batch]
-        st, tm = step(st, (xtr[chunk], ytr[chunk]))
+        chunks = jnp.tile(perm, reps)[:spe * batch].reshape(spe, batch)
+
+        def step_body(st, chunk):
+            return step(st, (xtr[chunk], ytr[chunk]))
+
+        st, tms = jax.lax.scan(step_body, st, chunks)
+        tm = jax.tree.map(lambda v: jnp.mean(v, axis=0), tms)
         logits = eval_fn(st.params, st.batch_stats, xva)
         vm = metric_fn(logits, yva)
         better = vm["dice_loss"] < best_metric
@@ -272,7 +280,9 @@ def fit(
         )
     state = runner.make_state(init_variables, lr, seed)
 
-    if imgs_train.shape[0] <= batch and not host_metrics_every:
+    # Scan path: any dataset that fits device memory (they all do here);
+    # the host loop remains for host-metric-per-epoch runs.
+    if not host_metrics_every and imgs_valid.shape[0] > 0:
         state, train_logs, valid_logs = _fit_scan(
             runner, state, imgs_train, masks_train, imgs_valid, masks_valid,
             epochs=epochs, batch=batch, seed=seed)
