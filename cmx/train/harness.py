@@ -234,17 +234,33 @@ def _fit_scan(runner, state, imgs_train, masks_train, imgs_valid,
             lambda a, b: jnp.where(better, a, b), st.batch_stats, best_bs)
         return (st, best_metric, best_params, best_bs), (tm, vm)
 
-    @jax.jit
-    def run(state):
-        init = (state, jnp.inf, state.params, state.batch_stats)
-        (st, _, bp, bbs), (tms, vms) = jax.lax.scan(
-            epoch_body, init, jnp.arange(epochs))
-        return st.replace(params=bp, batch_stats=bbs), tms, vms
+    def run(carry, e0, seg):
+        (st, bm, bp, bbs), (tms, vms) = jax.lax.scan(
+            epoch_body, carry, jnp.arange(seg) + e0)
+        return (st, bm, bp, bbs), tms, vms
 
-    state, tms, vms = run(state)
-    tms, vms = jax.device_get((tms, vms))
-    train_logs = {k: [float(x) for x in v] for k, v in tms.items()}
-    valid_logs = {k: [float(x) for x in v] for k, v in vms.items()}
+    # Segment the scan: one giant dispatch (~30+ s of device time for the
+    # wide splits) trips the remote-TPU worker watchdog ("TPU worker
+    # process crashed or restarted"); ~8 s segments reuse one compiled
+    # program with the epoch offset as a traced argument.
+    seg = int(np.clip(4096 // max(spe * batch, 1), 8, epochs))
+    run_seg = jax.jit(run, static_argnums=(2,))
+    carry = (state, jnp.inf, state.params, state.batch_stats)
+    tparts, vparts = [], []
+    e0 = 0
+    while e0 < epochs:
+        s_len = min(seg, epochs - e0)
+        carry, tms, vms = run_seg(carry, jnp.asarray(e0), s_len)
+        tparts.append(tms)
+        vparts.append(vms)
+        e0 += s_len
+    st, _, bp, bbs = carry
+    state = st.replace(params=bp, batch_stats=bbs)
+    tparts, vparts = jax.device_get((tparts, vparts))
+    train_logs = {k: [float(x) for p in tparts for x in p[k]]
+                  for k in tparts[0]}
+    valid_logs = {k: [float(x) for p in vparts for x in p[k]]
+                  for k in vparts[0]}
     return state, train_logs, valid_logs
 
 
