@@ -68,6 +68,11 @@ def _batches(n: int, batch: int, rng: Optional[np.random.Generator], pad_multipl
         yield chunk
 
 
+# Scan-segment budget in (steps x batch) units per dispatch: keeps one
+# device program under ~8 s so the remote-TPU worker watchdog never fires.
+_SEG_BUDGET = 4096
+
+
 @dataclass
 class FitResult:
     train_logs: Dict[str, List[float]]
@@ -243,7 +248,7 @@ def _fit_scan(runner, state, imgs_train, masks_train, imgs_valid,
     # wide splits) trips the remote-TPU worker watchdog ("TPU worker
     # process crashed or restarted"); ~8 s segments reuse one compiled
     # program with the epoch offset as a traced argument.
-    seg = int(np.clip(4096 // max(spe * batch, 1), 8, epochs))
+    seg = int(np.clip(_SEG_BUDGET // max(spe * batch, 1), 8, epochs))
     run_seg = jax.jit(run, static_argnums=(2,))
     carry = (state, jnp.inf, state.params, state.batch_stats)
     tparts, vparts = [], []

@@ -49,3 +49,29 @@ def test_grid_search_picks_best(data, tmp_path):
     fold0 = results[0]["folds"][0]
     assert "dice_loss" in fold0["valid_logs"]
     assert "cross_entropy_loss" in fold0["valid_logs"]
+
+
+def test_scan_fit_segmentation_invariant(monkeypatch):
+    """The watchdog-safe segmented scan must be bitwise-equivalent to one
+    unsegmented scan (epoch offsets are traced; carry threads best-state)."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from cmx.data.synthetic import make_batch
+    from cmx.models.unet import UNet
+    from cmx.train import harness
+
+    imgs, masks = map(np.asarray, make_batch(np.random.default_rng(3), 16, 32))
+    model = UNet(out_classes=2, dtype=jnp.float32)
+
+    def run():
+        return harness.fit(imgs[:12], masks[:12], imgs[12:], masks[12:],
+                           lr=1e-3, epochs=6, batch=4, augment=False,
+                           model=model)
+
+    res_one = run()  # budget 4096 -> single segment
+    monkeypatch.setattr(harness, "_SEG_BUDGET", 24)  # forces 3 segments
+    res_seg = run()
+    assert res_one.valid_logs["dice_loss"] == res_seg.valid_logs["dice_loss"]
+    assert res_one.train_logs["loss"] == res_seg.train_logs["loss"]
+    assert res_one.best_epoch == res_seg.best_epoch
