@@ -109,6 +109,97 @@ def bench_all(out_path: str = "BENCH_ALL.json"):
     print(json.dumps(payload))
 
 
+def bench_live(batch: int, out_path: str = "BENCH_LIVE.json"):
+    """Measure the DELIVERABLE pretrain path: device-resident corpus feed +
+    scan-compiled epoch segments — the exact code the CLI runs
+    (cmx.cli.pretrain.make_device_feed is shared, not reimplemented) —
+    alongside the device-resident single-step number, so BENCH_r* cannot
+    silently diverge from live CLI throughput (round-1 VERDICT item 7).
+    """
+    from cmx.cli.pretrain import build_task, make_device_feed
+    from cmx.config.config import Config
+    from cmx.parallel.dist import InfiniteBatchSampler
+    from cmx.parallel.mesh import make_mesh
+    from cmx.train.optim import make_optimizer
+    from cmx.train.state import TrainState
+    from cmx.train.trainer import make_train_step
+
+    n_chips = jax.device_count()
+    cfg = Config()
+    cfg.task.name = "spark"
+    cfg.data.image_size = SIZE
+    cfg.train.batch_size = batch
+    rng = np.random.default_rng(0)
+    corpus = rng.normal(size=(512, SIZE, SIZE)).astype(np.float32)
+
+    task, model, init_fn, extra_fn = build_task(cfg, jnp.bfloat16)
+    variables = init_fn(jax.random.key(0), jnp.asarray(corpus[:1]))
+    tx = make_optimizer("lamb", 2e-4, weight_decay=0.04, clip_norm=5.0,
+                        params_example=variables["params"])
+    state = TrainState.create(
+        params=variables["params"], batch_stats=variables["batch_stats"],
+        tx=tx, rng=jax.random.key(2))
+
+    mesh = make_mesh()
+    corpus_dev, fetch, scan_run = make_device_feed(
+        corpus, mesh, task=task, tx=tx, scan=True)
+    sampler = InfiniteBatchSampler(corpus.shape[0], batch, seed=0)
+    it = iter(sampler)
+    seg = max(1, cfg.train.scan_budget // batch)
+
+    def draw(s):
+        return jnp.asarray(np.stack([next(it) for _ in range(s)]).astype(np.int32))
+
+    # live scan path: per-segment dispatch exactly like the CLI epoch loop.
+    # scan_run donates its state input, so the state must be threaded
+    # continuously (never reuse a pre-donation reference).
+    state, tms = scan_run(state, draw(seg))  # compile + warm
+    float(jax.tree.leaves(tms)[0][-1])
+    best = float("inf")
+    n_seg = 3
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n_seg):
+            state, tms = scan_run(state, draw(seg))
+        float(jax.tree.leaves(tms)[0][-1])
+        best = min(best, time.perf_counter() - t0)
+    live_img_s = n_seg * seg * batch / best / n_chips
+
+    # host-loop live path (scan off): per-step dispatch with device gather
+    step = make_train_step(task, tx, donate=False)
+    st = state
+    for _ in range(3):
+        b = fetch(corpus_dev, draw(1)[0])
+        st, m = step(st, b)
+    float(m["loss"])
+    best_h = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(8):
+            b = fetch(corpus_dev, draw(1)[0])
+            st, m = step(st, b)
+        float(m["loss"])
+        best_h = min(best_h, time.perf_counter() - t0)
+    host_img_s = 8 * batch / best_h / n_chips
+
+    # device-resident step number (what `bench.py` without --live reports)
+    imgs_dev = jnp.asarray(corpus[:batch])
+    dt = _time_step(step, state, imgs_dev, n=8)
+    dev_img_s = batch / dt / n_chips
+
+    payload = {
+        "metric": "spark_live_pretrain_throughput", "unit": "images/sec/chip",
+        "batch": batch, "scan_segment_steps": seg,
+        "live_scan": round(live_img_s, 2),
+        "live_host_loop": round(host_img_s, 2),
+        "device_resident_step": round(dev_img_s, 2),
+        "live_over_bench": round(live_img_s / dev_img_s, 4),
+    }
+    with open(out_path, "w") as f:
+        json.dump(payload, f, indent=2)
+    print(json.dumps(payload))
+
+
 def main():
     from cmx.ssl.spark import SparKModel, make_spark_task
     from cmx.ops.masking import spark_active_mask
@@ -162,8 +253,15 @@ if __name__ == "__main__":
     ap.add_argument("--all", action="store_true",
                     help="bench every regime, write BENCH_ALL.json "
                          "(default: SparK only, one JSON line on stdout)")
+    ap.add_argument("--live", action="store_true",
+                    help="bench the real CLI pretrain path (device feed + "
+                         "scan segments) vs the device-resident step; "
+                         "writes BENCH_LIVE.json")
+    ap.add_argument("--batch", type=int, default=BATCH)
     cli = ap.parse_args()
-    if cli.all:
+    if cli.live:
+        bench_live(cli.batch)
+    elif cli.all:
         bench_all()
     else:
         main()

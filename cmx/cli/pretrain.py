@@ -8,6 +8,7 @@ with `python -m cmx.cli.pretrain --task spark [a.b=c ...]`.
 from __future__ import annotations
 
 import argparse
+import math
 import os
 import time
 from typing import Optional
@@ -30,12 +31,14 @@ from cmx.utils.seeding import seed_everything
 def build_task(cfg: Config, dtype):
     """Instantiate (task, model, init_fn, extra_fn) for cfg.task.name."""
     t = cfg.task
+    remat = tuple(s for s in cfg.model.remat.split(",") if s)
 
     if t.name == "genesis":
         from cmx.models.unet import UNet
         from cmx.ssl.reconstruction import make_genesis_task
 
-        model = UNet(out_classes=1, dtype=dtype, fused=cfg.model.fused_conv)
+        model = UNet(out_classes=1, dtype=dtype, fused=cfg.model.fused_conv,
+                     remat_levels=remat)
         task, _ = make_genesis_task(model)
         init = lambda key, x: model.init(key, x[:1])
         extra = None
@@ -43,8 +46,12 @@ def build_task(cfg: Config, dtype):
         from cmx.models.unet import UNet
         from cmx.ssl.reconstruction import make_mae_task
 
-        model = UNet(out_classes=1, dtype=dtype, fused=cfg.model.fused_conv)
-        task, _ = make_mae_task(model, mask_ratio=t.mask_ratio, patch_size=t.patch_size)
+        model = UNet(out_classes=1, dtype=dtype, fused=cfg.model.fused_conv,
+                     remat_levels=remat)
+        task, _ = make_mae_task(model, mask_ratio=t.mask_ratio,
+                                patch_size=t.patch_size,
+                                shared_mask=t.shared_mask,
+                                masked_loss_only=t.masked_loss_only)
         init = lambda key, x: model.init(key, x[:1])
         extra = None
     elif t.name == "moco":
@@ -70,7 +77,8 @@ def build_task(cfg: Config, dtype):
         from cmx.ssl.spark import SparKModel, make_spark_task
 
         model = SparKModel(mask_ratio=t.mask_ratio, full_unet=t.full_unet,
-                           dtype=dtype, fused=cfg.model.fused_conv)
+                           dtype=dtype, fused=cfg.model.fused_conv,
+                           remat_levels=remat)
         task, _ = make_spark_task(model, augment=t.augment,
                                   input_size=cfg.data.image_size,
                                   pallas_loss=t.pallas_loss)
@@ -103,6 +111,45 @@ def build_task(cfg: Config, dtype):
     else:
         raise ValueError(f"unknown pretrain task {t.name!r}")
     return task, model, init, extra
+
+
+def make_device_feed(imgs, mesh, task=None, tx=None, scan=True):
+    """Device-resident corpus feed + optional scan-compiled segment runner.
+
+    Returns (corpus_dev, fetch, scan_run):
+      * corpus_dev — the whole pretrain corpus device-put replicated over
+        the mesh (one upload; whole-image row gathers are in the cheap
+        class of TPU gathers, RESULTS.md round 2).
+      * fetch(corpus_dev, idx) — jitted on-device batch gather with
+        batch-dim out-sharding (the per-step host-loop feed).
+      * scan_run(state, idxs) — when scan and a task/tx are given: one
+        jitted device program running idxs.shape[0] train steps as a
+        lax.scan (gather + step fused; the _fit_scan pattern from
+        cmx/train/harness.py). None otherwise.
+
+    Shared by the pretrain CLI and `bench.py --live` so the benchmarked
+    path IS the deliverable path.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    corpus_dev = jax.device_put(jnp.asarray(imgs), NamedSharding(mesh, P()))
+    bat_sh = NamedSharding(
+        mesh, P(*((mesh.axis_names[0],) + (None,) * (imgs.ndim - 1))))
+    fetch = jax.jit(lambda c, i: jnp.take(c, i, axis=0), out_shardings=bat_sh)
+    scan_run = None
+    if scan and task is not None:
+        inner_step = make_train_step(task, tx, donate=False)
+
+        def _seg(st, idxs):
+            def body(st, idx):
+                b = jax.lax.with_sharding_constraint(
+                    jnp.take(corpus_dev, idx, axis=0), bat_sh)
+                return inner_step(st, b)
+
+            return jax.lax.scan(body, st, idxs)
+
+        scan_run = jax.jit(_seg, donate_argnums=(0,))
+    return corpus_dev, fetch, scan_run
 
 
 def load_pretrain_images(cfg: Config) -> np.ndarray:
@@ -162,8 +209,15 @@ def main(argv: Optional[list] = None) -> None:
 
     imgs = load_pretrain_images(cfg)
     rank, world = process_info()
-    mesh = make_mesh()
     per_host_batch = cfg.train.batch_size // world
+    if world == 1:
+        # Data-parallel degree = largest device count dividing the batch
+        # (a 4-image batch on an 8-device test mesh fails out-sharding
+        # divisibility otherwise; the gcd submesh keeps the fast path).
+        k = math.gcd(per_host_batch, len(jax.devices()))
+        mesh = make_mesh(jax.devices()[:k])
+    else:
+        mesh = make_mesh()
     sampler = InfiniteBatchSampler(
         imgs.shape[0], per_host_batch, rank=rank, world_size=world,
         seed=cfg.train.seed,
@@ -270,17 +324,17 @@ def main(argv: Optional[list] = None) -> None:
     # whole-image gathers are cheap on TPU (RESULTS.md round-2: patch-level
     # gathers ~3 ms/batch vs ~100 ms of 16 MB upload).
     fetch = None
+    scan_run = None
     if (cfg.data.device_feed and world == 1
             and imgs.nbytes <= cfg.data.device_feed_max_bytes):
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        corpus_dev = jax.device_put(
-            jnp.asarray(imgs), NamedSharding(mesh, P()))
-        fetch = jax.jit(
-            lambda c, i: jnp.take(c, i, axis=0),
-            out_shardings=NamedSharding(
-                mesh, P(*((mesh.axis_names[0],) + (None,) * (imgs.ndim - 1)))),
-        )
+        # Scan-compiled epoch segments (train.scan): the segment — on-device
+        # batch gather + train step — is ONE device program, so live
+        # throughput matches bench.py instead of paying a tunnel round-trip
+        # per step. Indices are drawn from the SAME InfiniteBatchSampler
+        # stream as the host loop (bitwise-identical batch sequence;
+        # tests/test_pretrain_scan.py).
+        corpus_dev, fetch, scan_run = make_device_feed(
+            imgs, mesh, task=task, tx=tx, scan=cfg.train.scan)
         print(f"device feed: corpus resident ({imgs.nbytes / 1e6:.0f} MB)")
 
     best_val = float("inf")
@@ -298,19 +352,32 @@ def main(argv: Optional[list] = None) -> None:
         # metric VALUES still sync once per epoch below.
         freq = cfg.train.log_every if steps_per_epoch > cfg.train.log_every else 0
         with trace(cfg.train.profile_dir if profile_this else None):
-            for _ in logger.log_every(range(steps_per_epoch), freq,
-                                      header=f"ep{ep}") if freq else range(steps_per_epoch):
-                idx = next(it)
-                if fetch is not None:
-                    batch = fetch(corpus_dev, jnp.asarray(idx))
-                else:
-                    batch = shard_batch(jnp.asarray(imgs[idx]), mesh)
-                state, metrics = step_fn(state, batch)
-                step_metrics.append(metrics)  # device arrays; no per-step sync
+            if scan_run is not None:
+                # Segmented scan: each dispatch runs `seg` steps on device.
+                seg = max(1, cfg.train.scan_budget // per_host_batch)
+                done = 0
+                while done < steps_per_epoch:
+                    s = min(seg, steps_per_epoch - done)
+                    idxs = np.stack([next(it) for _ in range(s)]).astype(np.int32)
+                    state, tms = scan_run(state, jnp.asarray(idxs))
+                    step_metrics.append(tms)  # dict of (s,) device arrays
+                    done += s
+            else:
+                for _ in logger.log_every(range(steps_per_epoch), freq,
+                                          header=f"ep{ep}") if freq else range(steps_per_epoch):
+                    idx = next(it)
+                    if fetch is not None:
+                        batch = fetch(corpus_dev, jnp.asarray(idx))
+                    else:
+                        batch = shard_batch(jnp.asarray(imgs[idx]), mesh)
+                    state, metrics = step_fn(state, batch)
+                    step_metrics.append(metrics)  # device arrays; no per-step sync
         # One host transfer per epoch (a float() per step forces a device
         # round-trip per step and dominates small-epoch runs).
         for m in jax.device_get(step_metrics):
-            logger.update(**{k: float(v) for k, v in m.items()})
+            vals = {k: np.atleast_1d(np.asarray(v)) for k, v in m.items()}
+            for i in range(next(iter(vals.values())).shape[0]):
+                logger.update(**{k: float(v[i]) for k, v in vals.items()})
         dt = time.time() - t0
         epoch_metrics = {k: m.avg for k, m in logger.meters.items()}
         print(f"epoch {ep}: {logger}  ({dt:.1f}s, "

@@ -49,6 +49,11 @@ class ModelConfig:
     dtype: str = "bfloat16"  # compute dtype; params always fp32
     fused_conv: bool = False  # Pallas fused DoubleConv at the >=128^2 stages
     # (cmx/ops/fused_conv.py); training-mode only, param-tree identical
+    # Selective rematerialization: comma-separated block names (e1..e4,
+    # bneck, d1..d4) whose activations are recomputed in backward instead
+    # of stored — trades cheap high-res FLOPs for the HBM temps that gate
+    # batch >128 (RESULTS.md round 2). "" = store everything.
+    remat: str = ""
 
 
 @dataclass
@@ -80,6 +85,14 @@ class TrainConfig:
     tensorboard: bool = False
     profile_dir: str = ""  # capture a jax.profiler trace of one epoch
     tee: bool = False  # mirror stdout/stderr into the run dir (misc.py:72-86)
+    # Compile epoch segments as one lax.scan device program (needs the
+    # device-resident feed). Through the remote-TPU tunnel the per-step
+    # host loop pays a dispatch round-trip per step (RESULTS.md round 3:
+    # 308 vs ~390 img/s); the scan path batches ~scan_budget samples of
+    # device time per dispatch (~8 s — larger single dispatches trip the
+    # remote worker watchdog).
+    scan: bool = True
+    scan_budget: int = 3072  # samples per scan dispatch
 
 
 @dataclass
@@ -96,6 +109,12 @@ class TaskConfig:
     # SparK: fused Pallas loss tail (cmx.ops.pallas_ops); A/B'd on TPU in
     # RESULTS.md round 2. Interpret-mode on CPU, compiled on TPU.
     pallas_loss: bool = False
+    # MAE ablations (VERDICT round-1 item 3): loss on masked patches only
+    # (standard MAE objective) vs the reference's full-image MSE
+    # (Genesis_Chest_CT.py:122-125); shared_mask restores the reference's
+    # mask[0]-reused-across-batch quirk (utils.py:206).
+    masked_loss_only: bool = False
+    shared_mask: bool = False
 
 
 @dataclass

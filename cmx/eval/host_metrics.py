@@ -118,6 +118,12 @@ def compute_radius_arteries(mask: np.ndarray) -> Tuple[float, float, float]:
     if len(contours) == 0 or len(skel_pts) == 0:
         return 0.0, 0.0, 0.0
     radii, _ = cKDTree(contours).query(skel_pts, k=1)
+    # Half-pixel boundary correction: cv2 contour points are centers of the
+    # outermost FOREGROUND pixels, while the reference's
+    # skimage.find_contours vertices lie on the 0/1 edge midpoints ~0.5 px
+    # further out. Exact for axis-aligned boundaries (golden-tested against
+    # the reference formulation in tests/test_host_metrics_golden.py).
+    radii = radii + 0.5
     return float(2 * radii.min()), float(2 * radii.mean()), float(2 * radii.max())
 
 

@@ -134,20 +134,22 @@ class DoubleConv(nn.Module):
     dtype: Dtype = jnp.bfloat16
     use_running_average: bool = False
     fused: bool = False
-    fused_min_hw: int = 128  # only stages at >= this resolution are
-    # bandwidth-bound (RESULTS.md round-2 per-level table); deeper stages
-    # run at 66-74% MFU under XLA and keep the plain path.
-    fused_impl: str = "flat"  # "flat" = channel-major (B,C,H*W) kernels
-    # (no Mosaic lane-padding tax); "nhwc" = the strip kernels (kept for
-    # A/B — they pay padded HBM copies on sub-128-channel tensors).
-    fused_max_cin: int = 128  # widest fused input: the 256-channel decoder
-    # concat stage's extra flat-layout residuals push the b128 SparK step
-    # ~100 MB past HBM; its XLA path already runs at ~50%+ MFU.
+    # None -> the module-level defaults in cmx.ops.fused_conv
+    # (FUSED_MIN_HW / FUSED_IMPL / FUSED_MAX_CIN — see rationale there).
+    # Fields stay None in production so A/B tools can patch the globals;
+    # flax freezes dataclass defaults at class creation, so patching class
+    # attributes here would be a silent no-op (round-1 advisor finding).
+    fused_min_hw: Optional[int] = None
+    fused_impl: Optional[str] = None
+    fused_max_cin: Optional[int] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None):
         from cmx.ops import fused_conv as fc
 
+        min_hw = fc.FUSED_MIN_HW if self.fused_min_hw is None else self.fused_min_hw
+        max_cin = fc.FUSED_MAX_CIN if self.fused_max_cin is None else self.fused_max_cin
+        impl = fc.FUSED_IMPL if self.fused_impl is None else self.fused_impl
         # The fused Pallas path targets the HBM-bandwidth-bound high-res
         # stages (see fused_conv module docstring). Training mode only —
         # eval reuses the plain path (not throughput-critical). Parameter
@@ -156,10 +158,10 @@ class DoubleConv(nn.Module):
             self.fused
             and not self.use_running_average
             and self.dtype == jnp.bfloat16
-            and x.shape[1] >= self.fused_min_hw
+            and x.shape[1] >= min_hw
             and x.shape[1] % fc.STRIP == 0
             and x.shape[2] % 8 == 0
-            and x.shape[-1] <= self.fused_max_cin
+            and x.shape[-1] <= max_cin
         )
         if use_fused:
             cin = x.shape[-1]
@@ -184,7 +186,7 @@ class DoubleConv(nn.Module):
                 m = jnp.ones(x.shape[:3], jnp.bfloat16)
             else:
                 m = (mask[..., 0] if mask.ndim == 4 else mask)
-            if self.fused_impl == "flat":
+            if impl == "flat":
                 from cmx.ops import fused_conv_flat as ff
 
                 B, H, Wd, _ = x.shape

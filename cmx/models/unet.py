@@ -61,6 +61,12 @@ class UNetEncoder(nn.Module):
     dtype: Dtype = jnp.bfloat16
     use_running_average: bool = False
     fused: bool = False
+    # Selective rematerialization: block names whose activations are
+    # recomputed in the backward pass instead of stored ("e1".."e4",
+    # "bneck"). The L1/L2 stages carry the dominant HBM temps (five 2-GB
+    # bf16 L1 activations at b256, RESULTS.md round 2) — remat there trades
+    # their cheap FLOPs for the memory that gates larger batches.
+    remat_levels: Sequence[str] = ()
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None):
@@ -73,7 +79,9 @@ class UNetEncoder(nn.Module):
             x = x * mask
         skips = []
         for i, w in enumerate(self.widths):
-            x, skip = DownBlock(
+            down_cls = (nn.remat(DownBlock)
+                        if f"e{i + 1}" in self.remat_levels else DownBlock)
+            x, skip = down_cls(
                 w,
                 dtype=self.dtype,
                 use_running_average=self.use_running_average,
@@ -85,7 +93,9 @@ class UNetEncoder(nn.Module):
                 # Active map follows the maxpool downsampling exactly: a 2x2
                 # output position is active iff any contributing input was.
                 mask = max_pool_2x2(mask)
-        x = DoubleConv(
+        bneck_cls = (nn.remat(DoubleConv)
+                     if "bneck" in self.remat_levels else DoubleConv)
+        x = bneck_cls(
             self.bottleneck,
             dtype=self.dtype,
             use_running_average=self.use_running_average,
@@ -108,17 +118,21 @@ class UNetDecoder(nn.Module):
     dtype: Dtype = jnp.bfloat16
     use_running_average: bool = False
     fused: bool = False
+    remat_levels: Sequence[str] = ()  # "d1" (full-res up block) .. "d4"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, skips: Sequence[jnp.ndarray]):
         for i, w in enumerate(reversed(self.widths)):
-            x = UpBlock(
+            lvl = len(self.widths) - i
+            up_cls = (nn.remat(UpBlock)
+                      if f"d{lvl}" in self.remat_levels else UpBlock)
+            x = up_cls(
                 w,
                 up_sample_mode=self.up_sample_mode,
                 dtype=self.dtype,
                 use_running_average=self.use_running_average,
                 fused=self.fused,
-                name=f"up{len(self.widths) - i}",
+                name=f"up{lvl}",
             )(x, skips[len(skips) - 1 - i])
         x = nn.Conv(
             self.out_classes,
@@ -143,6 +157,7 @@ class UNet(nn.Module):
     dtype: Dtype = jnp.bfloat16
     use_running_average: bool = False
     fused: bool = False
+    remat_levels: Sequence[str] = ()  # e1..e4, bneck, d1..d4
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, mask: Optional[jnp.ndarray] = None):
@@ -150,6 +165,7 @@ class UNet(nn.Module):
             dtype=self.dtype,
             use_running_average=self.use_running_average,
             fused=self.fused,
+            remat_levels=self.remat_levels,
             name="encoder",
         )(x, mask)
         return UNetDecoder(
@@ -158,6 +174,7 @@ class UNet(nn.Module):
             dtype=self.dtype,
             use_running_average=self.use_running_average,
             fused=self.fused,
+            remat_levels=self.remat_levels,
             name="decoder",
         )(h, skips)
 

@@ -48,6 +48,20 @@ _EPS = 1e-5
 # (False = hand-derived jnp backward, XLA-fused). Module-level for A/B.
 FUSED_BWD = True
 
+# Default gates for DoubleConv's fused path (models/blocks.py reads these
+# when its own fused_* fields are None). Module-level — flax dataclass
+# field defaults are frozen at class creation, so per-class attributes
+# cannot be monkeypatched for A/Bs; these can.
+FUSED_MIN_HW = 128  # only stages at >= this resolution are bandwidth-bound
+# (RESULTS.md round-2 per-level table); deeper stages run at 66-74% MFU
+# under XLA and keep the plain path.
+FUSED_IMPL = "flat"  # "flat" = channel-major (B,C,H*W) kernels (no Mosaic
+# lane-padding tax); "nhwc" = the strip kernels (kept for A/B — they pay
+# padded HBM copies on sub-128-channel tensors).
+FUSED_MAX_CIN = 128  # widest fused input: the 256-channel decoder concat
+# stage's extra flat-layout residuals push the b128 SparK step ~100 MB past
+# HBM; its XLA path already runs at ~50%+ MFU.
+
 # Kernel compute/storage dtype. bf16 in production (CLAUDE.md precision
 # contract); tests flip this to float32 to compare the hand-derived VJP
 # against autodiff with no rounding-noise ambiguity.

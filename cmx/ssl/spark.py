@@ -21,7 +21,7 @@ threaded through UNetEncoder.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple
+from typing import Any, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -59,6 +59,7 @@ class SparKModel(nn.Module):
     fused_decoder: bool = False  # decoder fusion pays NHWC<->flat layout
     # copies at every concat boundary (RESULTS.md round 3); encoder-only is
     # the profitable scope.
+    remat_levels: Sequence[str] = ()  # e1..e4, bneck, d1..d4 (unet.py)
 
     @nn.compact
     def __call__(self, imgs: jnp.ndarray, active_grid: jnp.ndarray):
@@ -72,6 +73,7 @@ class SparKModel(nn.Module):
             dtype=self.dtype,
             use_running_average=self.use_running_average,
             fused=self.fused,
+            remat_levels=self.remat_levels,
             name="encoder",
         )(imgs, active_pix)
 
@@ -113,6 +115,7 @@ class SparKModel(nn.Module):
                 dtype=self.dtype,
                 use_running_average=self.use_running_average,
                 fused=self.fused and self.fused_decoder,
+                remat_levels=self.remat_levels,
                 name="decoder",
             )(to_dec[0], list(reversed(to_dec[1:])))
         else:

@@ -18,6 +18,7 @@ logits — off the hot path, unlike the reference's per-batch device->host sync
 from __future__ import annotations
 
 import itertools
+import math
 import pickle
 import time
 from dataclasses import dataclass
@@ -31,7 +32,7 @@ from sklearn.model_selection import KFold
 from cmx.eval import host_metrics
 from cmx.eval.metrics import segmentation_metrics
 from cmx.models.unet import UNet
-from cmx.parallel.mesh import make_mesh, shard_batch
+from cmx.parallel.mesh import batch_sharding, make_mesh, replicated, shard_batch
 from cmx.train.state import TrainState
 from cmx.train.supervised import make_eval_fn, make_supervised_task
 from cmx.train.trainer import make_train_step
@@ -204,16 +205,27 @@ def _fit_scan(runner, state, imgs_train, masks_train, imgs_valid,
     per-epoch reshuffle (permutation of the n real samples, wrap-tiled to
     the batch — exactly `_batches`), best-state by val dice_loss, logs per
     epoch (the epoch-shuffle RNG stream is jax.random rather than the host
-    numpy generator — documented deviation). Host metrics (hausdorff/
-    radius) are not computed here — callers needing them use the host loop.
+    numpy generator — documented deviation, see PARITY.md). Host metrics
+    (hausdorff/radius) are not computed here — callers needing them use
+    the host loop.
+
+    Multi-device: the per-step batch is data-parallel-sharded over the
+    largest submesh whose size divides `batch` (gcd submesh) via a
+    with_sharding_constraint inside the scan, so the global-view SyncBN /
+    grad-psum semantics of the host loop are preserved (8-way == 1-way is
+    bitwise, tests/test_distributed_parity.py).
     """
     n = imgs_train.shape[0]
     spe = -(-n // batch)  # steps per epoch, last chunk wrap-padded
     reps = (spe * batch + n - 1) // n
-    xtr = jnp.asarray(imgs_train)
-    ytr = jnp.asarray(masks_train)
-    xva = jnp.asarray(imgs_valid)
-    yva = jnp.asarray(masks_valid)
+    k = math.gcd(batch, len(jax.devices()))
+    mesh = make_mesh(jax.devices()[:k])
+    rep_sh, bat_sh = replicated(mesh), batch_sharding(mesh)
+    xtr = jax.device_put(jnp.asarray(imgs_train), rep_sh)
+    ytr = jax.device_put(jnp.asarray(masks_train), rep_sh)
+    xva = jax.device_put(jnp.asarray(imgs_valid), rep_sh)
+    yva = jax.device_put(jnp.asarray(masks_valid), rep_sh)
+    state = jax.device_put(state, rep_sh)
     base_key = jax.random.key(np.uint32(seed) ^ np.uint32(0x5EED))
     step = runner.step
     eval_fn = runner.eval_fn
@@ -225,7 +237,9 @@ def _fit_scan(runner, state, imgs_train, masks_train, imgs_valid,
         chunks = jnp.tile(perm, reps)[:spe * batch].reshape(spe, batch)
 
         def step_body(st, chunk):
-            return step(st, (xtr[chunk], ytr[chunk]))
+            xb = jax.lax.with_sharding_constraint(xtr[chunk], bat_sh)
+            yb = jax.lax.with_sharding_constraint(ytr[chunk], bat_sh)
+            return step(st, (xb, yb))
 
         st, tms = jax.lax.scan(step_body, st, chunks)
         tm = jax.tree.map(lambda v: jnp.mean(v, axis=0), tms)

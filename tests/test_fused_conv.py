@@ -119,12 +119,23 @@ def test_module_fused_equals_unfused():
 @pytest.mark.slow
 def test_spark_step_fused_close_to_unfused(monkeypatch):
     """One SparK forward with the fused model: finite loss, close to the
-    unfused loss (same params, same rng)."""
-    from cmx.models.blocks import DoubleConv
+    unfused loss (same params, same rng).
+
+    Patches the module-level FUSED_MIN_HW gate (flax freezes dataclass
+    defaults at class creation — the round-1 class-attribute patch was a
+    silent no-op) and counts flat_double_conv calls to prove the fused
+    kernels actually executed."""
+    from cmx.ops import fused_conv as fc
+    from cmx.ops import fused_conv_flat as ff
     from cmx.ssl.spark import SparKModel, make_spark_task
     from cmx.ops.masking import spark_active_mask
 
-    monkeypatch.setattr(DoubleConv, "fused_min_hw", 0)
+    monkeypatch.setattr(fc, "FUSED_MIN_HW", 0)
+    calls = []
+    orig_fdc = ff.flat_double_conv
+    monkeypatch.setattr(
+        ff, "flat_double_conv",
+        lambda *a, **k: (calls.append(1), orig_fdc(*a, **k))[1])
 
     rng = np.random.default_rng(0)
     imgs = jnp.asarray(rng.normal(size=(2, 32, 32)).astype(np.float32))
@@ -138,9 +149,14 @@ def test_spark_step_fused_close_to_unfused(monkeypatch):
         class S:
             batch_stats = v["batch_stats"]
 
+        n_calls_before = len(calls)
         loss, _ = task.loss_fn(v["params"], S, imgs, jax.random.key(2))
         losses[fused] = float(loss)
         assert np.isfinite(losses[fused])
+        if fused:
+            assert len(calls) > n_calls_before, "fused path never entered"
+        else:
+            assert len(calls) == n_calls_before
     assert abs(losses[True] - losses[False]) < 0.05 * (
         abs(losses[False]) + 1e-3)
 

@@ -26,9 +26,11 @@ def build(fused: bool, impl: str = "flat"):
     from cmx.train.state import TrainState
     from cmx.train.trainer import make_train_step
 
-    from cmx.models.blocks import DoubleConv
+    from cmx.ops import fused_conv as fc
 
-    DoubleConv.fused_impl = impl
+    # Module-level default — flax freezes dataclass field defaults at class
+    # creation, so assigning DoubleConv.fused_impl would be a silent no-op.
+    fc.FUSED_IMPL = impl
     model = SparKModel(mask_ratio=0.6, full_unet=True, dtype=jnp.bfloat16,
                        fused=fused)
     task, _ = make_spark_task(model, augment=True, input_size=SIZE)

@@ -1,7 +1,11 @@
-"""Tabulate the SSL transfer experiment (runs_transfer_r2*.sh) for RESULTS.md.
+"""Tabulate the SSL transfer experiments (runs_transfer_r*.sh) for RESULTS.md.
 
-Reads runs/transfer_r2/ft/test_*.json (+ probe logs if present) and prints a
-markdown table: scratch vs each pretrained regime on the held-out test set.
+Reads <dir>/test_*.json (+ probe logs if present) and prints a markdown
+table: scratch vs each pretrained regime on the held-out test set.
+
+Usage: python tools/summarize_transfer.py [results_dir_or_run_root ...]
+  default: every ft* column under runs/transfer_r2 plus runs/mae_r4/ft.
+A run root (containing an ft/ subdir) expands to its ft* subdirs.
 """
 
 import glob
@@ -10,12 +14,19 @@ import os
 import re
 import sys
 
-R = sys.argv[1] if len(sys.argv) > 1 else "runs/transfer_r2"
+
+def expand(arg):
+    if glob.glob(os.path.join(arg, "test_*.json")):
+        return [arg]
+    return sorted(d for d in glob.glob(os.path.join(arg, "ft*"))
+                  if os.path.isdir(d))
 
 
-def main():
+def summarize(ft_dir):
+    R = os.path.dirname(ft_dir)
+    print(f"\n## {ft_dir}")
     rows = []
-    for path in sorted(glob.glob(os.path.join(R, "ft", "test_*.json"))):
+    for path in sorted(glob.glob(os.path.join(ft_dir, "test_*.json"))):
         tag = os.path.basename(path)[5:-5]
         with open(path) as f:
             d = json.load(f)
@@ -55,6 +66,13 @@ def main():
                    if r["run"] != "scratch" and r["dice"] > scratch["dice"]]
         print(f"\npretrained beating scratch ({scratch['dice']:.4f}): "
               f"{winners or 'NONE'}")
+
+
+def main():
+    args = sys.argv[1:] or ["runs/transfer_r2", "runs/mae_r4"]
+    for arg in args:
+        for ft_dir in expand(arg):
+            summarize(ft_dir)
 
 
 if __name__ == "__main__":
