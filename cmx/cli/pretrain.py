@@ -331,7 +331,7 @@ def main(argv: Optional[list] = None) -> None:
         # batch gather + train step — is ONE device program, so live
         # throughput matches bench.py instead of paying a tunnel round-trip
         # per step. Indices are drawn from the SAME InfiniteBatchSampler
-        # stream as the host loop (bitwise-identical batch sequence;
+        # stream as the host loop (identical batch sequence;
         # tests/test_pretrain_scan.py).
         corpus_dev, fetch, scan_run = make_device_feed(
             imgs, mesh, task=task, tx=tx, scan=cfg.train.scan)

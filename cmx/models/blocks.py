@@ -22,6 +22,7 @@ TPU-first choices (not a translation of the torch code):
 
 from __future__ import annotations
 
+import os
 from typing import Any, Optional
 
 import jax
@@ -29,6 +30,10 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 Dtype = Any
+
+# BatchNorm variance formulation — see the comment block inside
+# MaskedBatchNorm.__call__ for the taxonomy and the measured A/B.
+BN_VARIANT = os.environ.get("CMX_BN_VARIANT", "shift_ra")
 
 
 class MaskedBatchNorm(nn.Module):
@@ -39,6 +44,10 @@ class MaskedBatchNorm(nn.Module):
     is hostile; the numerically identical formulation is mask-weighted moments:
       mean = sum(x * m) / sum(m);   var = sum((x - mean)^2 * m) / sum(m)
     computed per-channel, then normalize everywhere and re-mask downstream.
+    (Implementation computes the variance via one-pass shifted moments — see
+    the inline comment — accurate to ~1e-6 relerr incl. the |mean| >> std
+    regime, without the two-pass form's -12% HBM cost; fp64 inputs use the
+    exact two-pass form.)
 
     With `mask=None` this is exactly vanilla BatchNorm (used by the dense
     model). Running stats are stored in the `batch_stats` collection; under a
@@ -92,19 +101,86 @@ class MaskedBatchNorm(nn.Module):
         elif self.use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
-            xf = x.astype(jnp.float32)
+            # fp32 moment math for bf16 inputs; fp64 inputs keep fp64 (the
+            # fp64 spatial-parity test needs full-precision reductions).
+            stat_dtype = jnp.promote_types(x.dtype, jnp.float32)
+            xf = x.astype(stat_dtype)
             red = tuple(range(x.ndim - 1))  # (B, H, W)
+            # Variance formula: plain E[x^2]-mean^2 ("naive") cancels
+            # catastrophically once |mean| >> std (the UNet bottleneck
+            # regime), but the exact two-pass centered form re-reads the
+            # full activation (HBM-bound). Default compromise: one-pass
+            # SHIFTED moments
+            #   var = E[(x-s)^2] - E[x-s]^2
+            # with s = stop-gradient of the stored RUNNING mean ("shift_ra").
+            # The shift is a (C,)-sized constant known before the pass, so
+            # the reductions fuse exactly like the naive form (no extra read
+            # of x) and it is identical between a single device and any
+            # sharded mesh (no reduction computes it). Accuracy: the
+            # cancellation term is ~eps*(1+((mean-s)/std)^2); the running
+            # mean lags the batch mean by ~10 steps of drift, which training
+            # keeps << 1 sigma/step, so the error stays ~eps throughout
+            # (envelope pinned in tests/test_masked_bn.py). On the FIRST
+            # steps s=0 degrades to the naive formula — exactly when the
+            # large-mean regime cannot have developed yet. Measured A/B
+            # (v5e, SparK b128@256^2 step, RESULTS round 4):
+            #   naive 390.2 img/s | shift_ra 386.7 | shift_max 351.8 |
+            #   two_pass 339.5
+            # shift_max (s = per-channel max of an 8-strided spatial
+            # subsample; accurate from step 1) loses 10%: the extra
+            # subsample reduction breaks XLA's fusion of the big moment
+            # reductions. All variants stay selectable via CMX_BN_VARIANT.
+            # fp64 inputs always use two_pass: the fp64 spatial-parity
+            # harness needs ~1e-15 reductions and doesn't care about speed.
+            variant = "two_pass" if stat_dtype == jnp.float64 else BN_VARIANT
+            sub = (slice(None),) + (slice(None, None, 8),) * (x.ndim - 2)
             if mask is None:
-                mean = jnp.mean(xf, axis=red)
-                var = jnp.mean(jnp.square(xf), axis=red) - jnp.square(mean)
+                if variant == "two_pass":
+                    mean = jnp.mean(xf, axis=red)
+                    var = jnp.mean(jnp.square(xf - mean), axis=red)
+                else:
+                    if variant == "shift_ra":
+                        s = jax.lax.stop_gradient(
+                            ra_mean.value.astype(stat_dtype))
+                    elif variant == "shift_max":
+                        s = jax.lax.stop_gradient(jnp.max(xf[sub], axis=red))
+                    else:  # naive
+                        s = jnp.zeros((c,), stat_dtype)
+                    d = xf - s
+                    dm = jnp.mean(d, axis=red)
+                    mean = dm + s
+                    var = jnp.mean(jnp.square(d), axis=red) - jnp.square(dm)
             else:
-                m = mask.astype(jnp.float32)
+                m = mask.astype(stat_dtype)
                 if m.ndim == x.ndim - 1:
                     m = m[..., None]
                 denom = jnp.maximum(jnp.sum(m, axis=red), 1.0)
-                mean = jnp.sum(xf * m, axis=red) / denom
-                var = jnp.sum(jnp.square(xf) * m, axis=red) / denom - jnp.square(mean)
-            var = jnp.maximum(var, 0.0)
+                if variant == "two_pass":
+                    mean = jnp.sum(xf * m, axis=red) / denom
+                    var = jnp.sum(jnp.square(xf - mean) * m, axis=red) / denom
+                else:
+                    if variant == "shift_ra":
+                        s = jax.lax.stop_gradient(
+                            ra_mean.value.astype(stat_dtype))
+                    elif variant == "shift_max":
+                        # max over ACTIVE subsampled positions (-inf-fill
+                        # the masked ones); all-masked subsample -> 0.
+                        neg = jnp.asarray(-3e38, stat_dtype)
+                        s = jnp.max(jnp.where(m[sub] > 0, xf[sub] * m[sub],
+                                              neg), axis=red)
+                        s = jax.lax.stop_gradient(
+                            jnp.where(s < -1e37, jnp.zeros_like(s), s))
+                    else:  # naive
+                        s = jnp.zeros((c,), stat_dtype)
+                    # masked shifted moments: sum((x-s)*m)/denom = mean - s
+                    # (active fraction of m sums to denom), so mean = dm + s.
+                    d = (xf - s) * m
+                    dm = jnp.sum(d, axis=red) / denom
+                    mean = dm + s
+                    var = jnp.sum(jnp.square(d), axis=red) / denom \
+                        - jnp.square(dm)
+            mean = mean.astype(jnp.float32)
+            var = jnp.maximum(var, 0.0).astype(jnp.float32)
             if not self.is_initializing():
                 ra_mean.value = self.momentum * ra_mean.value + (1 - self.momentum) * mean
                 ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var

@@ -53,6 +53,11 @@ class SparKModel(nn.Module):
     mask_ratio: float = 0.6
     full_unet: bool = True
     decoder_width: int = 768
+    # Width overrides exist for cheap structural tests (e.g. the fp64
+    # halo-exchange parity harness, where reference-width fp64 CPU convs
+    # take tens of minutes); production always uses the reference widths.
+    widths: Sequence[int] = ENCODER_WIDTHS
+    bottleneck_width: int = BOTTLENECK_WIDTH
     dtype: Dtype = jnp.bfloat16
     use_running_average: bool = False
     fused: bool = False
@@ -70,6 +75,8 @@ class SparKModel(nn.Module):
         active_pix = upsample_mask(active_grid, r)  # (B,H,W)
 
         bottleneck, skips = UNetEncoder(
+            widths=self.widths,
+            bottleneck=self.bottleneck_width,
             dtype=self.dtype,
             use_running_average=self.use_running_average,
             fused=self.fused,
@@ -80,7 +87,7 @@ class SparKModel(nn.Module):
         # Densify smallest -> largest (spark.py:100-111). Feature list order:
         # [bottleneck(f), skip4(2f), skip3(4f), skip2(8f), skip1(16f)].
         feats = [bottleneck] + list(reversed(skips))
-        widths = [BOTTLENECK_WIDTH] + list(reversed(ENCODER_WIDTHS))
+        widths = [self.bottleneck_width] + list(reversed(self.widths))
         to_dec = []
         cur = active_grid
         d_width = self.decoder_width
@@ -112,6 +119,7 @@ class SparKModel(nn.Module):
         if self.full_unet:
             rec = UNetDecoder(
                 out_classes=1,
+                widths=self.widths,
                 dtype=self.dtype,
                 use_running_average=self.use_running_average,
                 fused=self.fused and self.fused_decoder,

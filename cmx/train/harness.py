@@ -212,8 +212,9 @@ def _fit_scan(runner, state, imgs_train, masks_train, imgs_valid,
     Multi-device: the per-step batch is data-parallel-sharded over the
     largest submesh whose size divides `batch` (gcd submesh) via a
     with_sharding_constraint inside the scan, so the global-view SyncBN /
-    grad-psum semantics of the host loop are preserved (8-way == 1-way is
-    bitwise, tests/test_distributed_parity.py).
+    grad-psum semantics of the host loop are preserved (8-way == 1-way to a
+    few fp32 ulps; fp64-exact in the subprocess harness —
+    tests/test_distributed_parity.py).
     """
     n = imgs_train.shape[0]
     spe = -(-n // batch)  # steps per epoch, last chunk wrap-padded

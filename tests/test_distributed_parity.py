@@ -7,9 +7,12 @@ reference cannot express (its DDP semantics differ from single-GPU by
 construction: per-GPU BN stats unless SyncBN, shuffle-BN, etc.).
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from cmx.data.synthetic import make_batch
 from cmx.models.unet import UNet
@@ -50,7 +53,16 @@ def test_sharded_step_matches_single_device():
     s1, m1 = _one_step(task, tx, v, batch, mesh1)
     s8, m8 = _one_step(task, tx, v, batch, mesh8)
 
-    assert float(m1["loss"]) == np.float32(m8["loss"])  # bitwise-comparable fp32
+    # Loss agrees to a few fp32 ulps. It was BITWISE-equal until the BN
+    # moment shift (cmx/models/blocks.py) added a strided-subsample max to
+    # the producer fusion: the shift value itself is reassociation-exact
+    # (max), but its presence changes XLA's fusion/tiling of the big moment
+    # reductions, and the old bitwise match between the partitioned and
+    # single-device reduces was a property of identical fusion structure,
+    # not of the arithmetic. The exactness guarantee now lives in the fp64
+    # subprocess run (test_spatial_mesh_parity_fp64, data_* fields), where
+    # the two-pass fp64 path puts reassociation at ~1e-15 rel.
+    np.testing.assert_allclose(float(m1["loss"]), float(m8["loss"]), rtol=1e-5)
     np.testing.assert_allclose(
         float(m1["dice_loss"]), float(m8["dice_loss"]), rtol=1e-6
     )
@@ -72,13 +84,18 @@ def test_spatial_mesh_matches_data_mesh():
     reductions for masked-BN/loss — exactly the kind of partitioning that
     can be silently wrong-but-finite (round-1 VERDICT weak #3). Runs the
     full SparK step (the dryrun_multichip program) on a 4x2 mesh vs one
-    device and checks loss, updated params, and batch stats."""
+    device and checks loss, updated params, and batch stats.
+
+    Size 64, not 32: the bottleneck must keep >= 2 rows per spatial shard —
+    XLA's GSPMD partitioner miscompiles reduce_window->conv at per-shard
+    extent 1 (tools/xla_gspmd_repro.py). That floor is a documented contract
+    of the spatial axis, not a test convenience."""
     from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
     from cmx.ops.masking import spark_active_mask
     from cmx.ssl.spark import SparKModel, make_spark_task
 
-    size, batch = 32, 8
+    size, batch = 64, 8
     rng = np.random.default_rng(0)
     imgs = jnp.asarray(rng.normal(size=(batch, size, size)).astype(np.float32))
     model = SparKModel(mask_ratio=0.6, full_unet=True, dtype=jnp.float32)
@@ -106,19 +123,64 @@ def test_spatial_mesh_matches_data_mesh():
     s2, m2 = run(Mesh(devices[:8].reshape(4, 2), ("data", "spatial")),
                  P("data", "spatial", None))
 
-    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    # rtol 1e-4: spatially-sharded bf16 convs pad/reorder the contraction
+    # itself; measured loss deviation 2.4e-5 rel. The tight check is fp64
+    # (test_spatial_mesh_parity_fp64).
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-4)
     # Spatial sharding reorders the conv dW reductions THEMSELVES (unlike
-    # batch sharding, which only splits the final mean), so elementwise
-    # fp32 deviations up to ~5e-5 appear on 0.06% of deep-kernel elements.
-    # Assert leafwise relative-L2 closeness plus a loose elementwise cap.
+    # batch sharding, which only splits the final mean), so fp32
+    # reassociation noise reaches ~1e-3 global relative on the updated
+    # params — a regime where noise and a subtle halo bug are
+    # indistinguishable in fp32. Keep loose fp32 caps here; the DECISIVE
+    # parity check runs in float64 (test_spatial_mesh_parity_fp64), where
+    # reassociation collapses to ~1e-12.
+    v1 = np.concatenate([np.asarray(x, np.float64).ravel()
+                         for x in jax.tree.leaves(s1.params)])
+    v2 = np.concatenate([np.asarray(x, np.float64).ravel()
+                         for x in jax.tree.leaves(s2.params)])
+    rel = np.linalg.norm(v1 - v2) / np.linalg.norm(v2)
+    assert rel < 5e-3, rel
     for a, b in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s2.params)):
-        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
-        rel = np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-6)
-        assert rel < 5e-4, rel
-        np.testing.assert_allclose(a, b, atol=2e-4)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-3)
     for a, b in zip(jax.tree.leaves(s1.batch_stats),
                     jax.tree.leaves(s2.batch_stats)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-4)
+
+
+@pytest.mark.slow
+def test_spatial_mesh_parity_fp64():
+    """Float64 halo-exchange parity: 2x2 data x spatial mesh == 1 device to
+    1e-9 on loss, params, and batch stats after one full SparK step.
+
+    Runs in a subprocess because x64 mode must be enabled before backend
+    init and would leak into every other test in this process."""
+    import json
+    import subprocess
+    import sys
+
+    env = dict(os.environ,
+               JAX_ENABLE_X64="1",
+               JAX_PLATFORMS="cpu",
+               # fp64 CPU convs are slow; on a 1-core container the default
+               # 40 s collective-rendezvous terminator fires spuriously.
+               XLA_FLAGS="--xla_force_host_platform_device_count=4 "
+                         "--xla_cpu_collective_call_terminate_timeout_seconds=900 "
+                         "--xla_cpu_collective_timeout_seconds=900")
+    prog = os.path.join(os.path.dirname(__file__), "_spatial_parity_prog.py")
+    out = subprocess.run([sys.executable, prog], env=env, timeout=1200,
+                         capture_output=True, text=True)
+    assert out.returncode == 0, out.stderr[-2000:]
+    d = json.loads(out.stdout.strip().splitlines()[-1])
+    # measured: param_maxdiff 3.5e-18 (one fp64 ulp), bs_maxdiff 0.0;
+    # loss is stored fp32 downstream of fp64 math -> ~1e-7 ulp noise.
+    assert d["loss_diff"] < 1e-6, d
+    assert d["param_maxdiff"] < 1e-12, d
+    assert d["bs_maxdiff"] < 1e-12, d
+    # pure 1-D data mesh: the exactness guarantee that replaced the fp32
+    # bitwise assert in test_sharded_step_matches_single_device.
+    assert d["data_loss_diff"] < 1e-6, d
+    assert d["data_param_maxdiff"] < 1e-12, d
+    assert d["data_bs_maxdiff"] < 1e-12, d
 
 
 def test_step_deterministic_across_runs():

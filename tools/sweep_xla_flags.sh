@@ -1,8 +1,15 @@
 #!/bin/bash
 # XLA conv-backward/scheduling/layout flag sweep on the SparK step (VERDICT
-# item 1b). Flag names verified against this build's libtpu (strings dump);
-# flags apply at backend init, so each configuration is a fresh process.
-# Baseline (no extra flags) is re-measured first for drift control.
+# item 1b). Flag names verified against this build's libtpu (strings dump).
+#
+# Channel: AXON_LIBTPU_OVERRIDES, NOT XLA_FLAGS. The axon PJRT plugin
+# compiles REMOTELY on the terminal; local XLA_FLAGS parsing fatals on
+# TPU-only flag names (parse_flags_from_env.cc "Unknown flag"), while
+# AXON_LIBTPU_OVERRIDES is forwarded per-compile to the terminal's
+# compiler (axon_host compile_override_flags; the var is also folded into
+# the compile-cache key, so each configuration recompiles). NOT-SAFE flags
+# are reported by the plugin and the terminal's value silently wins —
+# watch stderr for "NOT-SAFE" to know a config didn't apply.
 set -x
 export PYTHONPATH=/root/repo:/root/.axon_site
 cd /root/repo
@@ -12,8 +19,9 @@ OUT=${1:-/tmp/xla_sweep.log}
 run () {
   name=$1; shift
   echo "== $name: $*" >> $OUT
-  XLA_FLAGS="$*" timeout 900 python -u tools/ab_perf_r4.py step --batch 128 \
-    2>/dev/null | tail -1 >> $OUT
+  AXON_LIBTPU_OVERRIDES="$*" timeout 1200 python -u tools/ab_perf_r4.py step --batch 128 \
+    2>/tmp/sweep_err_$name.log | tail -1 >> $OUT
+  grep -il "not-safe" /tmp/sweep_err_$name.log >/dev/null 2>&1 && echo "   (NOT-SAFE reported — terminal value used)" >> $OUT
 }
 
 run baseline ""
@@ -26,6 +34,12 @@ run aggressive_loop_fusion_layout "--xla_tpu_enable_aggressive_loop_fusion_layou
 run bf16_slp "--xla_tpu_enable_bf16_slp_vectorizer=true"
 run dot_strength "--xla_tpu_enable_dot_strength_reduction=true"
 run combo_best "--xla_tpu_enable_experimental_fusion_cost_model=true --xla_tpu_enable_large_2nd_minor_layout=true --xla_tpu_enable_large_2nd_minor_layout_for_x16=true"
+# conv-specific lowering/fusion knobs (VERDICT 1b: conv-backward scheduling)
+run conv_input_fusion_downcast "--xla_tpu_allow_conv_input_fusion_with_downcast_convert=true"
+run conv_multi_users "--xla_tpu_input_conv_multi_users=true"
+run x8_producers_into_conv "--xla_tpu_fuse_non_trivial_x8_producers_into_conv_like=true"
+run reduce_window_as_conv "--xla_tpu_handle_reduce_window_as_convolution=true"
+run autotune_windows "--xla_tpu_autotune_windows=true"
 
 cat $OUT
 echo SWEEP_DONE
