@@ -21,18 +21,26 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _sync(out):
+    """Barrier via a ONE-ELEMENT host transfer. np.asarray(out) would pull
+    the whole buffer through the axon tunnel (~seconds/GB) and dominate the
+    measurement; a device-side slice moves 4 bytes."""
+    leaf = jax.tree.leaves(out)[0]
+    float(jnp.reshape(leaf, (-1,))[0].astype(jnp.float32))
+
+
 def t(fn, *args, n=20, warmup=5):
     f = jax.jit(fn)
     out = None
     for _ in range(warmup):
         out = f(*args)
-    float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
+    _sync(out)
     best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
         for _ in range(n):
             out = f(*args)
-        float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
+        _sync(out)
         best = min(best, time.perf_counter() - t0)
     return best / n
 
