@@ -262,6 +262,39 @@ def main():
     }))
 
 
+def _wait_backend(max_tries: int = 10, sleep_s: int = 60, init_timeout: int = 420):
+    """Survive transient axon-tunnel outages (observed 2026-08-17: ~2 h of
+    'Unable to initialize backend axon: UNAVAILABLE').
+
+    A half-dead tunnel can HANG backend init inside a C call instead of
+    raising — and a C-level hang is NOT interruptible by in-process SIGALRM
+    (measured: a hung jax.devices() outlived a 420 s alarm until SIGTERM).
+    So probe in a SUBPROCESS (killable from outside) and only touch the
+    parent's backend registry once a probe succeeds. Probe stdout/stderr go
+    to this process's stderr, preserving the one-JSON-line stdout contract.
+    """
+    import subprocess
+    import sys
+
+    probe = ("import jax, jax.numpy as jnp\n"
+             "x = jnp.ones((256, 256))\n"
+             "assert float((x @ x).sum()) > 0\n")
+    for attempt in range(1, max_tries + 1):
+        try:
+            subprocess.run([sys.executable, "-c", probe], check=True,
+                           timeout=init_timeout, stdout=sys.stderr,
+                           stderr=sys.stderr)
+            return
+        except (subprocess.CalledProcessError, subprocess.TimeoutExpired) as e:
+            if attempt == max_tries:
+                raise RuntimeError(
+                    f"TPU backend unavailable after {max_tries} probes") from e
+            print(f"# TPU backend unavailable ({type(e).__name__}); "
+                  f"probe {attempt}/{max_tries}, retry in {sleep_s}s",
+                  file=sys.stderr, flush=True)
+            time.sleep(sleep_s)
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--all", action="store_true",
@@ -273,6 +306,7 @@ if __name__ == "__main__":
                          "writes BENCH_LIVE.json")
     ap.add_argument("--batch", type=int, default=BATCH)
     cli = ap.parse_args()
+    _wait_backend()
     if cli.live:
         bench_live(cli.batch)
     elif cli.all:
