@@ -114,6 +114,27 @@ def bench_all(out_path: str = "BENCH_ALL.json"):
     results["supervised"] = round(BATCH / dt / n_chips, 2)
     print(f"# supervised: {results['supervised']} img/s/chip", flush=True)
 
+    # inference / serving path: eval-mode forward + softmax, the same code
+    # cmx.apis.inference_model jits (counterpart of the reference's
+    # cmae/apis/inference.py:17-90 single-image path, batched here).
+    ev_model = UNet(out_classes=2, dtype=jnp.bfloat16, use_running_average=True)
+    ev_vars = {"params": variables["params"],
+               "batch_stats": variables["batch_stats"]}
+    fwd = jax.jit(lambda v, x: jax.nn.softmax(ev_model.apply(v, x), axis=-1))
+    probs = None
+    for _ in range(WARMUP_STEPS):
+        probs = fwd(ev_vars, imgs)
+    float(probs[0, 0, 0, 0])
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(BENCH_STEPS):
+            probs = fwd(ev_vars, imgs)
+        float(probs[0, 0, 0, 0])
+        best = min(best, time.perf_counter() - t0)
+    results["inference"] = round(BATCH / (best / BENCH_STEPS) / n_chips, 2)
+    print(f"# inference: {results['inference']} img/s/chip", flush=True)
+
     payload = {
         "unit": "images/sec/chip", "batch": BATCH, "size": SIZE,
         "n_chips": n_chips, "regimes": results,
