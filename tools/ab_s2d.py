@@ -76,6 +76,57 @@ def conv(x, w):
     )
 
 
+def expand_kernel_phase(w: np.ndarray, di: int, dj: int) -> np.ndarray:
+    """Polyphase decomposition: the dense s2d expansion (expand_kernel) is
+    only 25% nonzero, so the MXU executes 4x the fine conv's FLOPs. Splitting
+    by OUTPUT phase (di,dj) instead gives four (2,2,4Cin,Cout) kernels whose
+    total MAC count is EXACTLY the fine conv's:
+
+      out_fine[2i+di, 2j+dj] = sum_ky in_fine[2i+di+ky-1] w[ky]
+      fine row 2i+di+ky-1 lives at s2d row (2i+di+ky-1)//2, input phase
+      (2i+di+ky-1)%2 -> a 2-tap conv over s2d rows with per-phase taps:
+        di=0: K[0,(ri=1)]=w[0], K[1,(ri=0)]=w[1], K[1,(ri=1)]=w[2]
+              (rows i-1,i -> padding (1,0))
+        di=1: K[0,(ri=0)]=w[0], K[0,(ri=1)]=w[1], K[1,(ri=0)]=w[2]
+              (rows i,i+1 -> padding (0,1))
+    Density 9/16 per phase kernel vs 9/36 dense -> 1.78x fine FLOPs if XLA
+    zero-skips nothing, 1.0x useful.
+    """
+    kh, kw, cin, cout = w.shape
+    assert (kh, kw) == (3, 3)
+    we = np.zeros((2, 2, 4 * cin, cout), w.dtype)
+    for si in (0, 1):          # s2d row tap (relative to the pad-adjusted origin)
+        for sj in (0, 1):
+            for ri in (0, 1):  # input phase
+                for rj in (0, 1):
+                    # fine tap index: with padding (1-di, di), tap si covers
+                    # s2d row i-1+si+di... derive ky from the identity above:
+                    ky = 2 * (si - (1 - di)) + ri - di + 1
+                    kx = 2 * (sj - (1 - dj)) + rj - dj + 1
+                    if 0 <= ky <= 2 and 0 <= kx <= 2:
+                        ci0 = (ri * 2 + rj) * cin
+                        we[si, sj, ci0 : ci0 + cin] = w[ky, kx]
+    return we
+
+
+def phase_conv(x, wp4):
+    """x: (B,H2,W2,4Cin); wp4: list of 4 (2,2,4Cin,Cout) phase kernels in
+    (di,dj) order. Returns s2d-layout output (B,H2,W2,4Cout)."""
+    outs = []
+    for (di, dj), wp in zip(((0, 0), (0, 1), (1, 0), (1, 1)), wp4):
+        outs.append(jax.lax.conv_general_dilated(
+            x, wp, (1, 1), [(1 - di, di), (1 - dj, dj)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        ))
+    return jnp.concatenate(outs, axis=-1)
+
+
+def expand_phase4(w) -> list:
+    return [jnp.asarray(expand_kernel_phase(np.asarray(w), di, dj))
+            for di in (0, 1) for dj in (0, 1)]
+
+
 def check():
     rng = np.random.default_rng(0)
     for cin, cout in [(1, 8), (8, 8), (64, 64)]:
@@ -85,11 +136,14 @@ def check():
         got = conv(s2d(jnp.asarray(x)), jnp.asarray(expand_kernel(w)))
         err = float(jnp.max(jnp.abs(ref - got)))
         scale = float(jnp.max(jnp.abs(ref)))
+        gotp = phase_conv(s2d(jnp.asarray(x)), expand_phase4(w))
+        errp = float(jnp.max(jnp.abs(ref - gotp)))
         print(json.dumps({"cin": cin, "cout": cout, "max_abs_err": err,
-                          "rel": err / scale}))
+                          "rel": err / scale, "phase_rel": errp / scale}))
         assert err / scale < 1e-5, (cin, cout, err)
-    print("EXACT: s2d k-expansion reproduces the fine conv bit-for-bit "
-          "(up to fp32 reassociation)")
+        assert errp / scale < 1e-5, ("phase", cin, cout, errp)
+    print("EXACT: s2d k-expansion AND polyphase split reproduce the fine "
+          "conv bit-for-bit (up to fp32 reassociation)")
 
 
 def _sync(out):
@@ -127,6 +181,9 @@ def timing(batch: int = 128):
     w1e = expand_kernel(w1)
     w2e = expand_kernel(w2)
 
+    w1p = [w.astype(bf) for w in expand_phase4(w1)]
+    w2p = [w.astype(bf) for w in expand_phase4(w2)]
+
     def fine(x, w1, w2):
         y = jnp.maximum(conv(x, w1), 0).astype(bf)
         return jnp.maximum(conv(y, w2), 0).astype(bf)
@@ -134,15 +191,28 @@ def timing(batch: int = 128):
     def fine_loss(x, w1, w2):
         return jnp.sum(fine(x, w1, w2).astype(jnp.float32) ** 2)
 
+    def phase(x, w1p, w2p):
+        y = jnp.maximum(phase_conv(x, w1p), 0).astype(bf)
+        return jnp.maximum(phase_conv(y, w2p), 0).astype(bf)
+
+    def phase_loss(x, w1p, w2p):
+        return jnp.sum(phase(x, w1p, w2p).astype(jnp.float32) ** 2)
+
     gflop_fine = 2 * batch * 256 * 256 * 9 * (1 * 64 + 64 * 64) / 1e9
     args_f = (x, jnp.asarray(w1).astype(bf), jnp.asarray(w2).astype(bf))
     args_s = (xs, jnp.asarray(w1e).astype(bf), jnp.asarray(w2e).astype(bf))
+    args_p = (xs, w1p, w2p)
+    # polyphase MACs = 4 phases x (2x2x4Cin xCout) at (H/2)² = 16/9 of fine
+    gflop_phase = gflop_fine * 16 / 9
 
     for name, fn, args, gf in [
         ("fine_fwd", fine, args_f, gflop_fine),
         ("s2d_fwd", fine, args_s, 4 * gflop_fine),
+        ("s2dp_fwd", phase, args_p, gflop_phase),
         ("fine_fwdbwd", jax.grad(fine_loss, argnums=(0, 1, 2)), args_f, 3 * gflop_fine),
         ("s2d_fwdbwd", jax.grad(fine_loss, argnums=(0, 1, 2)), args_s, 12 * gflop_fine),
+        ("s2dp_fwdbwd", jax.grad(phase_loss, argnums=(0, 1, 2)), args_p,
+         3 * gflop_phase),
     ]:
         dt = t(fn, *args)
         print(json.dumps({
