@@ -68,11 +68,63 @@ def summarize(ft_dir):
               f"{winners or 'NONE'}")
 
 
+# Reference 6x5 Dice matrix for side-by-side printing (BASELINE.md, from
+# Finetuning/models_checkpoints/PT-FT_split_experiments/result_*.pkl).
+# Columns keyed by the cmx analog ratio: split x/y -> ratio y/100.
+REF = {
+    "scratch": {0.01: 0.3761, 0.05: 0.6370, 0.1: 0.6639, 0.2: 0.6935, 0.3: 0.7078},
+    "cmunet":  {0.01: 0.6270, 0.05: 0.6838, 0.1: 0.7031, 0.2: 0.7201, 0.3: 0.7380},
+    "spark":   {0.01: 0.5214, 0.3: 0.7054},
+    "genesis": {0.01: 0.5252, 0.3: 0.7092},
+    "moco":    {0.01: 0.5555, 0.3: 0.7102},
+    "mae":     {0.01: 0.5566, 0.3: 0.7048},
+}
+SPLIT_NAME = {0.01: "79/1", 0.05: "75/5", 0.1: "70/10", 0.2: "60/20", 0.3: "50/30"}
+FT_RATIO = {"ft": 0.01, "ft05": 0.05, "ft10": 0.1, "ft20": 0.2, "ft30": 0.3}
+
+
+def matrix(root="runs/transfer_r2"):
+    """Print the consolidated cmx-vs-reference Dice matrix across every
+    completed ft* column under `root` (reference grid:
+    Finetuning/models_checkpoints/PT-FT_split_experiments/, 30 pickles)."""
+    cols = []
+    for d in sorted(glob.glob(os.path.join(root, "ft*"))):
+        base = os.path.basename(d)
+        if os.path.isdir(d) and base in FT_RATIO:
+            cols.append((FT_RATIO[base], d))
+    cols.sort()
+    if not cols:
+        return
+    cells = {}
+    for ratio, d in cols:
+        for path in glob.glob(os.path.join(d, "test_*.json")):
+            tag = os.path.basename(path)[5:-5]
+            tag = "scratch" if tag == "None" else tag
+            with open(path) as f:
+                cells[(tag, ratio)] = json.load(f)["dice"]
+    print("\n## cmx vs reference: test Dice across the full split matrix")
+    print("(cmx on the hard-synthetic corpus analog; reference on FAME2 — "
+          "compare patterns, not absolutes)")
+    hdr = " | ".join(f"{SPLIT_NAME[r]} (r={r:g})" for r, _ in cols)
+    print(f"| method | {hdr} |")
+    print("|---|" + "---|" * len(cols))
+    for tag in ("scratch", "cmunet", "spark", "genesis", "moco", "mae"):
+        row = []
+        for ratio, _ in cols:
+            v = cells.get((tag, ratio))
+            ref = REF[tag].get(ratio)
+            rs = f" (ref {ref:.4f})" if ref is not None else ""
+            row.append(f"{v:.4f}{rs}" if v is not None else "—")
+        print(f"| {tag} | " + " | ".join(row) + " |")
+
+
 def main():
     args = sys.argv[1:] or ["runs/transfer_r2", "runs/mae_r4"]
     for arg in args:
         for ft_dir in expand(arg):
             summarize(ft_dir)
+    if not sys.argv[1:] or sys.argv[1:][0].rstrip("/").endswith("transfer_r2"):
+        matrix(args[0] if sys.argv[1:] else "runs/transfer_r2")
 
 
 if __name__ == "__main__":
