@@ -189,14 +189,17 @@ def timing(batch: int = 128):
         return jnp.maximum(conv(y, w2), 0).astype(bf)
 
     def fine_loss(x, w1, w2):
-        return jnp.sum(fine(x, w1, w2).astype(jnp.float32) ** 2)
+        # Sum in bf16 so the backward cotangents stay bf16 (mixed-dtype
+        # cotangents crash conv_general_dilated's transpose); precision is
+        # irrelevant for a timing probe.
+        return jnp.sum(fine(x, w1, w2) ** 2).astype(jnp.float32)
 
     def phase(x, w1p, w2p):
         y = jnp.maximum(phase_conv(x, w1p), 0).astype(bf)
         return jnp.maximum(phase_conv(y, w2p), 0).astype(bf)
 
     def phase_loss(x, w1p, w2p):
-        return jnp.sum(phase(x, w1p, w2p).astype(jnp.float32) ** 2)
+        return jnp.sum(phase(x, w1p, w2p) ** 2).astype(jnp.float32)
 
     gflop_fine = 2 * batch * 256 * 256 * 9 * (1 * 64 + 64 * 64) / 1e9
     args_f = (x, jnp.asarray(w1).astype(bf), jnp.asarray(w2).astype(bf))
