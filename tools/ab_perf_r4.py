@@ -10,6 +10,10 @@ process, so the flag sweep is driven by a shell loop around `step`):
   cmunet  — CM-UNet step breakdown: full step, fwd-only, no-aug, no-EMA,
             online-only (no target forward), projector-free; finds where
             the 299-vs-384 img/s gap lives.
+  moco    — MoCo v2 step breakdown (round-5): full step, fwd-only,
+            aug-only (the two 224² view pipelines), XLA cost analysis;
+            MoCo has NO decoder so its FLOP ceiling is far higher than
+            SparK's — is 346 img/s leaving real headroom on the table?
 
 Run:  PYTHONPATH=/root/repo:/root/.axon_site python -u tools/ab_perf_r4.py <cmd>
 """
@@ -188,6 +192,85 @@ def cmd_cmunet(args):
                       "img_s": round(batch / dt, 1)}), flush=True)
 
 
+def cmd_moco(args):
+    """Variants: full | fwd_only | aug_only | no_aug | cost. Drive with:
+      for v in full fwd_only aug_only no_aug cost; do
+        python -u tools/ab_perf_r4.py moco --variant $v; done
+    no_aug feeds pre-augmented 224² views straight into the step (aug
+    removed from the compiled program, FLOPs otherwise identical), so
+    full - no_aug isolates what the in-step aug REALLY costs after fusion.
+    """
+    from cmx.ops.augment import moco_view_aug, vmap_aug
+    from cmx.ssl.moco import init_moco_extra, make_moco_task
+    from cmx.train.optim import make_optimizer
+    from cmx.train.state import TrainState
+    from cmx.train.trainer import make_train_step
+
+    batch, view = args.batch, 224
+    rng = np.random.default_rng(0)
+    imgs = jnp.asarray(rng.normal(size=(batch, SIZE, SIZE)).astype(np.float32))
+    variant = args.variant
+
+    if variant == "aug_only":
+        def aug2(key, im):
+            kq, kk = jax.random.split(key)
+            return (vmap_aug(moco_view_aug, kq, im, view),
+                    vmap_aug(moco_view_aug, kk, im, view))
+        f = jax.jit(aug2)
+        dt = _time(lambda: f(jax.random.key(3), imgs))
+        print(json.dumps({"config": variant, "step_ms": round(dt * 1e3, 1)}),
+              flush=True)
+        return
+
+    task, model = make_moco_task(augment=variant != "no_aug",
+                                 view_size=view)
+    feed = imgs
+    if variant == "no_aug":
+        # pre-cropped views; the step sees (B,224,224) like the aug output
+        feed = imgs[:, :view, :view]
+    variables = model.init(jax.random.key(0), feed[:1, :view, :view])
+    extra = init_moco_extra(jax.random.key(1), variables["params"],
+                            variables["batch_stats"])
+    tx = make_optimizer("sgd", 0.03, params_example=variables["params"])
+    state = TrainState.create(params=variables["params"],
+                              batch_stats=variables["batch_stats"],
+                              tx=tx, extra=extra, rng=jax.random.key(2))
+    del variables
+
+    if variant == "fwd_only":
+        lf = jax.jit(lambda p, s, b, k: task.loss_fn(p, s, b, k)[0])
+        dt = _time(lambda: lf(state.params, state, feed, jax.random.key(3)))
+    elif variant == "cost":
+        step = make_train_step(task, tx, donate=True)
+        ca = step.lower(state, feed).compile().cost_analysis()
+        ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+        print(json.dumps({
+            "config": "cost",
+            "gflop_per_img": round(ca.get("flops", 0) / batch / 1e9, 1),
+            "hbm_mb_per_img": round(ca.get("bytes accessed", 0) / batch / 1e6, 1),
+        }), flush=True)
+        return
+    else:
+        step = make_train_step(task, tx, donate=True)
+
+        def f(st):
+            return step(st, feed)
+
+        for _ in range(4):
+            state, m = f(state)
+        _sync(m["loss"])
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.perf_counter()
+            for _ in range(12):
+                state, m = f(state)
+            _sync(m["loss"])
+            best = min(best, time.perf_counter() - t0)
+        dt = best / 12
+    print(json.dumps({"config": variant, "step_ms": round(dt * 1e3, 1),
+                      "img_s": round(batch / dt, 1)}), flush=True)
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -200,5 +283,10 @@ if __name__ == "__main__":
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--variant", default="full",
                    choices=["full", "fwd_only", "no_aug", "no_ema", "cost"])
+    p = sub.add_parser("moco")
+    p.add_argument("--batch", type=int, default=128)
+    p.add_argument("--variant", default="full",
+                   choices=["full", "fwd_only", "aug_only", "no_aug", "cost"])
     args = ap.parse_args()
-    {"remat": cmd_remat, "step": cmd_step, "cmunet": cmd_cmunet}[args.cmd](args)
+    {"remat": cmd_remat, "step": cmd_step, "cmunet": cmd_cmunet,
+     "moco": cmd_moco}[args.cmd](args)
