@@ -68,16 +68,19 @@ def summarize(ft_dir):
               f"{winners or 'NONE'}")
 
 
-# Reference 6x5 Dice matrix for side-by-side printing (BASELINE.md, from
-# Finetuning/models_checkpoints/PT-FT_split_experiments/result_*.pkl).
-# Columns keyed by the cmx analog ratio: split x/y -> ratio y/100.
+# Reference 6x5 Dice matrix for side-by-side printing. Extraction verified
+# against BASELINE.md: for each of the 30 pickles in
+# Finetuning/models_checkpoints/PT-FT_split_experiments/result_*.pkl, the
+# final held-out test Dice is 1 - pkl[i]["valid_logs"]["dice_loss"]
+# (the test()-after-retrain record, train.py:380-426), best over the lr
+# grid. Columns keyed by the cmx analog ratio: split x/y -> ratio y/100.
 REF = {
     "scratch": {0.01: 0.3761, 0.05: 0.6370, 0.1: 0.6639, 0.2: 0.6935, 0.3: 0.7078},
     "cmunet":  {0.01: 0.6270, 0.05: 0.6838, 0.1: 0.7031, 0.2: 0.7201, 0.3: 0.7380},
-    "spark":   {0.01: 0.5214, 0.3: 0.7054},
-    "genesis": {0.01: 0.5252, 0.3: 0.7092},
-    "moco":    {0.01: 0.5555, 0.3: 0.7102},
-    "mae":     {0.01: 0.5566, 0.3: 0.7048},
+    "spark":   {0.01: 0.5214, 0.05: 0.6323, 0.1: 0.6652, 0.2: 0.6935, 0.3: 0.7054},
+    "genesis": {0.01: 0.5252, 0.05: 0.6408, 0.1: 0.6781, 0.2: 0.6996, 0.3: 0.7092},
+    "moco":    {0.01: 0.5555, 0.05: 0.6469, 0.1: 0.6850, 0.2: 0.7100, 0.3: 0.7102},
+    "mae":     {0.01: 0.5566, 0.05: 0.6177, 0.1: 0.6690, 0.2: 0.6996, 0.3: 0.7048},
 }
 SPLIT_NAME = {0.01: "79/1", 0.05: "75/5", 0.1: "70/10", 0.2: "60/20", 0.3: "50/30"}
 FT_RATIO = {"ft": 0.01, "ft05": 0.05, "ft10": 0.1, "ft20": 0.2, "ft30": 0.3}
