@@ -39,6 +39,11 @@ harvest () {
   true
 }
 
+# ---- T0. wait for the orphaned phase-5 ft30 mae run (pid $1), harvest ----
+if [ -n "$1" ]; then tail --pid="$1" -f /dev/null; fi
+harvest $R/ft30 ft30
+echo TAIL_FT30_MAE_HARVESTED
+
 # ---- T1. ft05 + ft20 (75/5- and 60/20-analog columns) ----
 FT05="data.data_dir=runs/hard400 data.ratio=0.05"
 retry_tpu $R/ft05_scratch.log python -m cmx.cli.finetune --out $R/ft05 --batches 8 -- $FT05
