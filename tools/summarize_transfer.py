@@ -83,28 +83,35 @@ REF = {
     "mae":     {0.01: 0.5566, 0.05: 0.6177, 0.1: 0.6690, 0.2: 0.6996, 0.3: 0.7048},
 }
 SPLIT_NAME = {0.01: "79/1", 0.05: "75/5", 0.1: "70/10", 0.2: "60/20", 0.3: "50/30"}
-FT_RATIO = {"ft": 0.01, "ft05": 0.05, "ft10": 0.1, "ft20": 0.2, "ft30": 0.3}
+FT_RATIO = {"ft": 0.01, "ft01": 0.01, "ft05": 0.05, "ft10": 0.1,
+            "ft20": 0.2, "ft30": 0.3}
 
 
 def matrix(root="runs/transfer_r2"):
     """Print the consolidated cmx-vs-reference Dice matrix across every
     completed ft* column under `root` (reference grid:
-    Finetuning/models_checkpoints/PT-FT_split_experiments/, 30 pickles)."""
-    cols = []
-    for d in sorted(glob.glob(os.path.join(root, "ft*"))):
-        base = os.path.basename(d)
-        if os.path.isdir(d) and base in FT_RATIO:
-            cols.append((FT_RATIO[base], d))
-    cols.sort()
+    Finetuning/models_checkpoints/PT-FT_split_experiments/, 30 pickles).
+    The git-tracked artifacts/r2 harvest tree is read first as a fallback
+    so cells survive the loss of the gitignored runs/ tree; a live runs/
+    column overwrites its artifact copy (values are identical when both
+    exist — the harvest is a straight cp)."""
+    cells = {}
+    seen_ratios = set()
+    for scan_root in ("artifacts/r2", root):
+        for d in sorted(glob.glob(os.path.join(scan_root, "ft*"))):
+            base = os.path.basename(d)
+            if not os.path.isdir(d) or base not in FT_RATIO:
+                continue
+            ratio = FT_RATIO[base]
+            seen_ratios.add(ratio)
+            for path in glob.glob(os.path.join(d, "test_*.json")):
+                tag = os.path.basename(path)[5:-5]
+                tag = "scratch" if tag == "None" else tag
+                with open(path) as f:
+                    cells[(tag, ratio)] = json.load(f)["dice"]
+    cols = [(r, None) for r in sorted(seen_ratios)]
     if not cols:
         return
-    cells = {}
-    for ratio, d in cols:
-        for path in glob.glob(os.path.join(d, "test_*.json")):
-            tag = os.path.basename(path)[5:-5]
-            tag = "scratch" if tag == "None" else tag
-            with open(path) as f:
-                cells[(tag, ratio)] = json.load(f)["dice"]
     print("\n## cmx vs reference: test Dice across the full split matrix")
     print("(cmx on the hard-synthetic corpus analog; reference on FAME2 — "
           "compare patterns, not absolutes)")
