@@ -184,7 +184,10 @@ def load_pretrain_images(cfg: Config) -> np.ndarray:
 
 def main(argv: Optional[list] = None) -> None:
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--task", default=None, help="genesis|mae|moco|spark|cmunet")
+    p.add_argument("--task", default=None,
+                   help="genesis|mae|mae_tuned|moco|spark|cmunet "
+                        "(mae_tuned requires --preset: it is a preset key "
+                        "that resolves task.name back to mae)")
     p.add_argument("--preset", action="store_true",
                    help="start from the reference recipe for --task "
                         "(cmx.config.presets) before applying overrides")

@@ -6,7 +6,8 @@ from cmx.config.presets import PRESETS
 def test_all_presets_build():
     for name, fn in PRESETS.items():
         cfg = fn()
-        assert cfg.task.name == name
+        # mae_tuned is a variant key: it resolves task.name to its base task
+        assert cfg.task.name == name.split("_")[0]
 
 
 def test_spark_preset_values():
@@ -38,3 +39,12 @@ def test_cmunet_preset_values():
     assert cfg.task.mask_ratio == 0.65
     assert cfg.optim.name == "adamw"
     assert cfg.task.ema_momentum == 0.996
+
+
+def test_mae_tuned_preset_values():
+    # RESULTS.md round-5 ablation winner: ratio 0.75, task resolves to mae
+    cfg = PRESETS["mae_tuned"]()
+    assert cfg.task.name == "mae"
+    assert cfg.task.mask_ratio == 0.75
+    assert cfg.task.patch_size == 16
+    assert cfg.optim.name == "sgd" and cfg.optim.lr == 1e-2
