@@ -118,11 +118,13 @@ def matrix(root="runs/transfer_r2"):
     hdr = " | ".join(f"{SPLIT_NAME[r]} (r={r:g})" for r, _ in cols)
     print(f"| method | {hdr} |")
     print("|---|" + "---|" * len(cols))
-    for tag in ("scratch", "cmunet", "spark", "genesis", "moco", "mae"):
+    main_tags = ("scratch", "cmunet", "spark", "genesis", "moco", "mae")
+    extra_tags = sorted({t for t, _ in cells} - set(main_tags))
+    for tag in main_tags + tuple(extra_tags):
         row = []
         for ratio, _ in cols:
             v = cells.get((tag, ratio))
-            ref = REF[tag].get(ratio)
+            ref = REF.get(tag, {}).get(ratio)
             rs = f" (ref {ref:.4f})" if ref is not None else ""
             row.append(f"{v:.4f}{rs}" if v is not None else "—")
         print(f"| {tag} | " + " | ".join(row) + " |")
