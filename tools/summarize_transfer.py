@@ -129,6 +129,31 @@ def matrix(root="runs/transfer_r2"):
             row.append(f"{v:.4f}{rs}" if v is not None else "—")
         print(f"| {tag} | " + " | ".join(row) + " |")
 
+    # Per-column Spearman rank correlation of the 6-method ordering vs the
+    # reference — the quantitative "does the PATTERN reproduce" summary
+    # (absolute Dice is corpus-dependent; the method ranking is not).
+    def spearman(xs, ys):
+        def ranks(v):
+            order = sorted(range(len(v)), key=lambda i: v[i])
+            r = [0.0] * len(v)
+            for rank, i in enumerate(order):
+                r[i] = float(rank)
+            return r
+        rx, ry = ranks(xs), ranks(ys)
+        n = len(xs)
+        d2 = sum((a - b) ** 2 for a, b in zip(rx, ry))
+        return 1.0 - 6.0 * d2 / (n * (n * n - 1))
+
+    rhos = []
+    for ratio, _ in cols:
+        col = [(cells.get((t, ratio)), REF[t].get(ratio)) for t in main_tags]
+        if all(c is not None and r is not None for c, r in col):
+            rho = spearman([c for c, _ in col], [r for _, r in col])
+            rhos.append((ratio, rho))
+    if rhos:
+        print("\nmethod-ranking Spearman rho vs reference, per column: "
+              + ", ".join(f"{SPLIT_NAME[r]}: {rho:+.2f}" for r, rho in rhos))
+
 
 def main():
     args = sys.argv[1:] or ["runs/transfer_r2", "runs/mae_r4"]
