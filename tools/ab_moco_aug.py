@@ -1,0 +1,201 @@
+"""MoCo view-augmentation breakdown + rotation-formulation A/B (round-2 tail).
+
+The round-5 MoCo profile (runs/r4/moco_profile.log) showed the step is
+augmentation-bound: fwd+bwd alone 131.8 ms/batch (971 img/s) but the full
+step 369.7 ms (346 img/s), with the two 224² view pipelines alone costing
+306 ms. This tool finds WHICH op dominates and A/Bs TPU-friendlier
+formulations of the suspect (random_rotation's full-image nearest gather;
+gathers measured ~110 ms flat per 128x256² batch on this chip — see
+cmx/ops/augment.py:113 and RESULTS.md round-2 "Sparsity lever").
+
+Subcommands:
+  breakdown — time each op of moco_view_aug (vmapped, b128) in isolation
+              plus the full chain and the chain minus rotation.
+  rot       — A/B three rotation formulations at b128:
+                direct  : img[iy, ix] pointwise gather (current)
+                flat    : jnp.take on the flattened image (one 1-D gather)
+                shear3  : rot90(k) + three nearest shears, each a vmapped
+                          dynamic_slice of contiguous rows/cols
+              prints ms + % pixel mismatch vs direct (same keys).
+
+Run:  PYTHONPATH=/root/repo:/root/.axon_site python -u tools/ab_moco_aug.py breakdown
+"""
+
+import argparse
+import json
+import time
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BATCH = 128
+SIZE = 256
+VIEW = 224
+
+
+def _sync(x):
+    float(np.asarray(jax.device_get(x)).ravel()[0])
+
+
+def _time(fn, *args, n=12, warmup=4, repeats=3):
+    out = None
+    for _ in range(warmup):
+        out = fn(*args)
+    _sync(jax.tree.leaves(out)[0])
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        for _ in range(n):
+            out = fn(*args)
+        _sync(jax.tree.leaves(out)[0])
+        best = min(best, time.perf_counter() - t0)
+    return best / n
+
+
+def _batch(seed=0):
+    rng = np.random.default_rng(seed)
+    return jnp.asarray(rng.random((BATCH, SIZE, SIZE), dtype=np.float32))
+
+
+def breakdown():
+    from cmx.ops import augment as A
+
+    imgs = _batch()
+    keys = jax.random.split(jax.random.key(0), BATCH)
+
+    def timed(name, per_image):
+        f = jax.jit(jax.vmap(per_image))
+        ms = _time(f, keys, imgs) * 1e3
+        print(json.dumps({"op": name, "ms_per_batch": round(ms, 2)}))
+
+    timed("rotation_p1", lambda k, im: A.random_rotation(k, im, 180.0, p=1.0))
+    timed("rotation_p.5", lambda k, im: A.random_rotation(k, im, 180.0, p=0.5))
+    timed("rrc_cubic", lambda k, im: A.random_resized_crop(
+        k, im, VIEW, scale=(0.2, 1.0), method="cubic"))
+    timed("blur_p.5", lambda k, im: A.gaussian_blur(
+        k, im[:VIEW, :VIEW], sigma_range=(0.1, 2.0), radius=3, p=0.5))
+    timed("flips+noise", lambda k, im: A.gaussian_noise_max10(
+        k, A.random_vflip(k, A.random_hflip(k, im[:VIEW, :VIEW])), p=0.5))
+    timed("full_view", lambda k, im: A.moco_view_aug(k, im, VIEW))
+
+    def no_rot(k, im):
+        ks = jax.random.split(k, 6)
+        im = A.random_resized_crop(ks[1], im, VIEW, scale=(0.2, 1.0),
+                                   method="cubic")
+        im = A.gaussian_blur(ks[2], im, sigma_range=(0.1, 2.0), radius=3, p=0.5)
+        im = A.random_hflip(ks[3], im)
+        im = A.random_vflip(ks[4], im)
+        return A.gaussian_noise_max10(ks[5], im, p=0.5)
+
+    timed("view_minus_rotation", no_rot)
+
+
+# ---------------------------------------------------------------------------
+# rotation formulations
+
+
+def rot_direct(key, img, max_degrees=180.0):
+    from cmx.ops.augment import random_rotation
+
+    return random_rotation(key, img, max_degrees, p=1.0)
+
+
+def rot_flat(key, img, max_degrees=180.0):
+    """Same math as random_rotation(nearest) but one flat 1-D take."""
+    ka = jax.random.split(key, 2)[1]
+    angle = jnp.deg2rad(jax.random.uniform(ka, minval=-max_degrees,
+                                           maxval=max_degrees))
+    h, w = img.shape
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    yy, xx = jnp.mgrid[0:h, 0:w]
+    c, s = jnp.cos(angle), jnp.sin(angle)
+    src_y = c * (yy - cy) - s * (xx - cx) + cy
+    src_x = s * (yy - cy) + c * (xx - cx) + cx
+    iy = jnp.round(src_y).astype(jnp.int32)
+    ix = jnp.round(src_x).astype(jnp.int32)
+    inside = (iy >= 0) & (iy < h) & (ix >= 0) & (ix < w)
+    idx = jnp.clip(iy, 0, h - 1) * w + jnp.clip(ix, 0, w - 1)
+    out = jnp.take(img.reshape(-1), idx.reshape(-1)).reshape(h, w)
+    return jnp.where(inside, out, 0.0).astype(jnp.float32)
+
+
+def _shear_rows(img, shifts):
+    """Shift row y left by shifts[y] (nearest): vmapped dynamic_slice of a
+    zero-padded row — contiguous slices, no pointwise gather."""
+    h, w = img.shape
+    pad = jnp.concatenate(
+        [jnp.zeros((h, w), img.dtype), img, jnp.zeros((h, w), img.dtype)], 1)
+
+    def row(r, s):
+        return jax.lax.dynamic_slice(r, (w + s,), (w,))
+
+    return jax.vmap(row)(pad, shifts)
+
+
+def rot_shear3(key, img, max_degrees=180.0):
+    """rot90(k) + three integer nearest shears (x, y, x).
+
+    Any angle = k*90° + phi with phi in [-45°, 45°]; rot90 is free
+    (transpose+flip) and the three shears use |tan(phi/2)| <= 0.4142,
+    |sin(phi)| <= 0.7072. Nearest-rounded shears differ from the direct
+    nearest-gather rotation only by rounding order (measured ~% of pixels,
+    printed by the A/B), with identical distribution semantics for aug."""
+    ka = jax.random.split(key, 2)[1]
+    angle = jnp.deg2rad(jax.random.uniform(ka, minval=-max_degrees,
+                                           maxval=max_degrees))
+    quarter = jnp.round(angle / (jnp.pi / 2)).astype(jnp.int32)
+    # The shears apply the INVERSE warp (out[x] = in[x+s]), so both the
+    # residual angle and the quarter-turn count negate relative to the
+    # forward rotation (validated: corr +1.000 vs the direct nearest gather
+    # at ±10°, ±80°, ±100°, 170° on a smooth field).
+    phi = -(angle - quarter * (jnp.pi / 2))
+    img = jax.lax.switch(
+        (-quarter) % 4,
+        [lambda x: x,
+         lambda x: jnp.rot90(x, 1),
+         lambda x: jnp.rot90(x, 2),
+         lambda x: jnp.rot90(x, 3)],
+        img,
+    )
+    h, w = img.shape
+    a = -jnp.tan(phi / 2.0)
+    b = jnp.sin(phi)
+    yy = jnp.arange(h) - (h - 1) / 2.0
+    xx = jnp.arange(w) - (w - 1) / 2.0
+    sx = jnp.round(a * yy).astype(jnp.int32)          # x-shear per row
+    sy = jnp.round(b * xx).astype(jnp.int32)          # y-shear per column
+    img = _shear_rows(img, sx)
+    img = _shear_rows(img.T, sy).T
+    img = _shear_rows(img, sx)
+    return img.astype(jnp.float32)
+
+
+def rot_ab():
+    imgs = _batch()
+    keys = jax.random.split(jax.random.key(0), BATCH)
+    fns = {"direct": rot_direct, "flat": rot_flat, "shear3": rot_shear3}
+    ref = jax.jit(jax.vmap(partial(rot_direct)))(keys, imgs)
+    for name, fn in fns.items():
+        f = jax.jit(jax.vmap(partial(fn)))
+        ms = _time(f, keys, imgs) * 1e3
+        out = f(keys, imgs)
+        mismatch = float(jnp.mean(jnp.abs(out - ref) > 1e-6))
+        print(json.dumps({"rot": name, "ms_per_batch": round(ms, 2),
+                          "pixel_mismatch_vs_direct": round(mismatch, 4)}))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("cmd", choices=["breakdown", "rot"])
+    args = ap.parse_args()
+    print(f"# devices: {jax.devices()}")
+    if args.cmd == "breakdown":
+        breakdown()
+    else:
+        rot_ab()
+
+
+if __name__ == "__main__":
+    main()
