@@ -101,6 +101,62 @@ def random_rot90(key: jax.Array, img: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+# Rotation formulation used by moco_view_aug. "nearest" is the
+# reference-faithful pointwise gather; "shear3" is the rot90+three-shear
+# reformulation (contiguous vmapped dynamic slices instead of a full-image
+# gather — gathers cost ~110 ms flat per 128x256² batch on this TPU).
+# Flip after the on-TPU A/B (tools/ab_moco_aug.py rot) proves the win.
+ROTATION_METHOD = "nearest"
+
+
+def _shear_rows(img: jnp.ndarray, shifts: jnp.ndarray) -> jnp.ndarray:
+    """Shift row y left by shifts[y] (integer, zero-fill): one vmapped
+    dynamic_slice of a zero-padded row — contiguous slices, no pointwise
+    gather."""
+    h, w = img.shape
+    pad = jnp.concatenate(
+        [jnp.zeros((h, w), img.dtype), img, jnp.zeros((h, w), img.dtype)], 1)
+
+    def row(r, s):
+        return jax.lax.dynamic_slice(r, (w + s,), (w,))
+
+    return jax.vmap(row)(pad, shifts)
+
+
+def _rotate_shear3(img: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
+    """Nearest rotation as rot90(k) + three integer shears (x, y, x).
+
+    angle = k*90° + phi, phi in [-45°, 45°]; rot90 is free (layout), each
+    shear is a per-row integer shift (|tan(phi/2)| <= 0.4142). The shears
+    apply the inverse warp, so phi and the quarter count negate vs the
+    forward rotation. Deviation vs the direct nearest gather: per-pixel
+    rounding order only — measured corr >= 0.9996 / mean|diff| <= 0.02 on
+    smooth 256² fields over random angles (tools/ab_moco_aug.py); corners
+    zero-fill the same way. Square images only."""
+    h, w = img.shape
+    assert h == w, "shear3 rotation requires square images"
+    quarter = jnp.round(angle / (jnp.pi / 2)).astype(jnp.int32)
+    phi = -(angle - quarter * (jnp.pi / 2))
+    img = jax.lax.switch(
+        (-quarter) % 4,
+        [lambda x: x,
+         lambda x: jnp.rot90(x, 1),
+         lambda x: jnp.rot90(x, 2),
+         lambda x: jnp.rot90(x, 3)],
+        img,
+    )
+    a = -jnp.tan(phi / 2.0)
+    b = jnp.sin(phi)
+    yy = jnp.arange(h) - (h - 1) / 2.0
+    xx = jnp.arange(w) - (w - 1) / 2.0
+    sx = jnp.round(a * yy).astype(jnp.int32)
+    sy = jnp.round(b * xx).astype(jnp.int32)
+    img = _shear_rows(img, sx)
+    img = _shear_rows(img.T, sy).T
+    img = _shear_rows(img, sx)
+    return img.astype(jnp.float32)
+
+
 def random_rotation(
     key: jax.Array, img: jnp.ndarray, max_degrees: float = 180.0, p: float = 1.0,
     method: str = "nearest",
@@ -111,11 +167,16 @@ def random_rotation(
     (moco_data_module.py:121). torchvision's RandomRotation default
     interpolation is NEAREST — method="nearest" matches it with a SINGLE
     gather (bilinear needs 4 corner gathers; gathers are the dominant cost of
-    this op on TPU — measured 4x slower for "bilinear").
+    this op on TPU — measured 4x slower for "bilinear"). method="shear3"
+    replaces the gather with the rot90+three-shear formulation
+    (_rotate_shear3) — same distribution, per-pixel rounding deviation only.
     """
     kp, ka = jax.random.split(key)
     angle = jnp.deg2rad(jax.random.uniform(ka, minval=-max_degrees, maxval=max_degrees))
     h, w = img.shape[0], img.shape[1]
+    if method == "shear3":
+        rot = _rotate_shear3(img.astype(jnp.float32), angle)
+        return jnp.where(jax.random.uniform(kp) < p, rot, img)
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
     yy, xx = jnp.mgrid[0:h, 0:w]
     yy = yy - cy
@@ -370,7 +431,7 @@ def moco_view_aug(key: jax.Array, img: jnp.ndarray, out_size: int = 224) -> jnp.
     p.5 -> RandomResizedCrop(224, (0.2, 1)) -> GaussianBlur p.5 -> HFlip ->
     VFlip -> GaussNoise(max/10) p.5."""
     ks = jax.random.split(key, 6)
-    img = random_rotation(ks[0], img, 180.0, p=0.5)
+    img = random_rotation(ks[0], img, 180.0, p=0.5, method=ROTATION_METHOD)
     img = random_resized_crop(ks[1], img, out_size, scale=(0.2, 1.0), method="cubic")
     img = gaussian_blur(ks[2], img, sigma_range=(0.1, 2.0), radius=3, p=0.5)
     img = random_hflip(ks[3], img)

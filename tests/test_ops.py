@@ -49,6 +49,24 @@ def test_random_rotation_preserves_energy_roughly(rng):
     assert float(out[16, 16]) == pytest.approx(1.0, abs=1e-5)
 
 
+def test_random_rotation_shear3_matches_gather(rng):
+    """The rot90+three-shear formulation tracks the direct nearest gather:
+    same shape/energy, >=0.99 correlation on a smooth field over random
+    angles (per-pixel rounding-order deviation is expected and documented)."""
+    import numpy as np
+
+    yy, xx = np.mgrid[0:64, 0:64]
+    img = jnp.asarray(np.sin(yy / 7.0) + np.cos(xx / 5.0), dtype=jnp.float32)
+    for seed in range(4):
+        k = jax.random.key(seed)
+        d = augment.random_rotation(k, img, 180.0, p=1.0, method="nearest")
+        s = augment.random_rotation(k, img, 180.0, p=1.0, method="shear3")
+        assert s.shape == d.shape
+        interior = (slice(16, 48), slice(16, 48))
+        c = jnp.corrcoef(s[interior].ravel(), d[interior].ravel())[0, 1]
+        assert float(c) > 0.99, f"seed {seed}: corr {float(c)}"
+
+
 def test_shift_pixel_crop(rng):
     img = _img(rng, 256, 256)
     v1 = augment.shift_pixel_crop(KEY, img, 224, max_pixel=0)

@@ -121,59 +121,22 @@ def rot_flat(key, img, max_degrees=180.0):
     return jnp.where(inside, out, 0.0).astype(jnp.float32)
 
 
-def _shear_rows(img, shifts):
-    """Shift row y left by shifts[y] (nearest): vmapped dynamic_slice of a
-    zero-padded row — contiguous slices, no pointwise gather."""
-    h, w = img.shape
-    pad = jnp.concatenate(
-        [jnp.zeros((h, w), img.dtype), img, jnp.zeros((h, w), img.dtype)], 1)
-
-    def row(r, s):
-        return jax.lax.dynamic_slice(r, (w + s,), (w,))
-
-    return jax.vmap(row)(pad, shifts)
-
-
 def rot_shear3(key, img, max_degrees=180.0):
-    """rot90(k) + three integer nearest shears (x, y, x).
+    """The library formulation (cmx.ops.augment._rotate_shear3) via its
+    public switch — the A/B measures the exact production code path."""
+    from cmx.ops.augment import random_rotation
 
-    Any angle = k*90° + phi with phi in [-45°, 45°]; rot90 is free
-    (transpose+flip) and the three shears use |tan(phi/2)| <= 0.4142,
-    |sin(phi)| <= 0.7072. Nearest-rounded shears differ from the direct
-    nearest-gather rotation only by rounding order (measured ~% of pixels,
-    printed by the A/B), with identical distribution semantics for aug."""
-    ka = jax.random.split(key, 2)[1]
-    angle = jnp.deg2rad(jax.random.uniform(ka, minval=-max_degrees,
-                                           maxval=max_degrees))
-    quarter = jnp.round(angle / (jnp.pi / 2)).astype(jnp.int32)
-    # The shears apply the INVERSE warp (out[x] = in[x+s]), so both the
-    # residual angle and the quarter-turn count negate relative to the
-    # forward rotation (validated: corr +1.000 vs the direct nearest gather
-    # at ±10°, ±80°, ±100°, 170° on a smooth field).
-    phi = -(angle - quarter * (jnp.pi / 2))
-    img = jax.lax.switch(
-        (-quarter) % 4,
-        [lambda x: x,
-         lambda x: jnp.rot90(x, 1),
-         lambda x: jnp.rot90(x, 2),
-         lambda x: jnp.rot90(x, 3)],
-        img,
-    )
-    h, w = img.shape
-    a = -jnp.tan(phi / 2.0)
-    b = jnp.sin(phi)
-    yy = jnp.arange(h) - (h - 1) / 2.0
-    xx = jnp.arange(w) - (w - 1) / 2.0
-    sx = jnp.round(a * yy).astype(jnp.int32)          # x-shear per row
-    sy = jnp.round(b * xx).astype(jnp.int32)          # y-shear per column
-    img = _shear_rows(img, sx)
-    img = _shear_rows(img.T, sy).T
-    img = _shear_rows(img, sx)
-    return img.astype(jnp.float32)
+    return random_rotation(key, img, max_degrees, p=1.0, method="shear3")
 
 
 def rot_ab():
-    imgs = _batch()
+    # Smooth field, not noise: on noise every 1-pixel rounding difference
+    # flips the pixel, which would make the (expected, documented) shear3
+    # rounding deviation unreadable. Timing is data-independent.
+    yy, xx = np.mgrid[0:SIZE, 0:SIZE]
+    one = np.sin(yy / 25.0) + np.cos(xx / 19.0)
+    imgs = jnp.asarray(np.broadcast_to(one, (BATCH, SIZE, SIZE)).copy(),
+                       dtype=jnp.float32)
     keys = jax.random.split(jax.random.key(0), BATCH)
     fns = {"direct": rot_direct, "flat": rot_flat, "shear3": rot_shear3}
     ref = jax.jit(jax.vmap(partial(rot_direct)))(keys, imgs)
