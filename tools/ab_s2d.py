@@ -68,11 +68,17 @@ def expand_kernel(w: np.ndarray) -> np.ndarray:
     return we
 
 
+# f32 accumulation for the exactness --check; the --time path sets bf16 so
+# the backward cotangents match the bf16 operands (a f32 cotangent meeting a
+# bf16 input crashes conv_general_dilated's transpose).
+ACC_DTYPE = jnp.float32
+
+
 def conv(x, w):
     return jax.lax.conv_general_dilated(
         x, w, (1, 1), "SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
+        preferred_element_type=ACC_DTYPE,
     )
 
 
@@ -117,7 +123,7 @@ def phase_conv(x, wp4):
         outs.append(jax.lax.conv_general_dilated(
             x, wp, (1, 1), [(1 - di, di), (1 - dj, dj)],
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
+            preferred_element_type=ACC_DTYPE,
         ))
     return jnp.concatenate(outs, axis=-1)
 
@@ -172,6 +178,8 @@ def timing(batch: int = 128):
     fine layout vs exact s2d layout, fwd and fwd+bwd."""
     rng = np.random.default_rng(0)
     bf = jnp.bfloat16
+    global ACC_DTYPE
+    ACC_DTYPE = bf
 
     x = jnp.asarray(rng.normal(size=(batch, 256, 256, 1)).astype(np.float32)).astype(bf)
     w1 = (rng.normal(size=(3, 3, 1, 64)) * 0.3).astype(np.float32)
