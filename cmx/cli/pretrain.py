@@ -65,6 +65,7 @@ def build_task(cfg: Config, dtype):
             num_negatives=t.num_negatives,
             view_size=t.view_size,
             augment=t.augment,
+            rotation_method=t.rotation_method,
         )
         init = lambda key, x: model.init(key, x[:1, : t.view_size, : t.view_size])
 
@@ -309,6 +310,7 @@ def main(argv: Optional[list] = None) -> None:
             moco_validate = make_moco_validate(
                 model, temperature=cfg.task.temperature,
                 view_size=cfg.task.view_size, augment=cfg.task.augment,
+                rotation_method=cfg.task.rotation_method,
             )
             val_queue = init_val_queue(
                 jax.random.fold_in(root_key, 97), cfg.task.num_negatives

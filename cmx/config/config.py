@@ -104,6 +104,11 @@ class TaskConfig:
     ema_momentum: float = 0.996
     num_negatives: int = 65536
     view_size: int = 224
+    # MoCo rotation formulation: "nearest" (reference-faithful pointwise
+    # gather, torchvision RandomRotation NEAREST) or "shear3" (rot90 +
+    # three-shear, gather-free — see cmx/ops/augment.py and the round-5
+    # MoCo profile in RESULTS.md). Same angle distribution either way.
+    rotation_method: str = "nearest"
     full_unet: bool = True
     augment: bool = True
     # SparK: fused Pallas loss tail (cmx.ops.pallas_ops); A/B'd on TPU in

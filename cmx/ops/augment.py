@@ -426,12 +426,19 @@ def spark_pretrain_aug(key: jax.Array, img: jnp.ndarray, out_size: int = 256) ->
     return random_hflip(k2, img)
 
 
-def moco_view_aug(key: jax.Array, img: jnp.ndarray, out_size: int = 224) -> jnp.ndarray:
+def moco_view_aug(
+    key: jax.Array, img: jnp.ndarray, out_size: int = 224,
+    rotation_method: str | None = None,
+) -> jnp.ndarray:
     """One MoCo 'global' view (moco_data_module.py:119-132): RandomRotation(180)
     p.5 -> RandomResizedCrop(224, (0.2, 1)) -> GaussianBlur p.5 -> HFlip ->
-    VFlip -> GaussNoise(max/10) p.5."""
+    VFlip -> GaussNoise(max/10) p.5.
+
+    rotation_method overrides the module default (task.rotation_method in
+    config; None -> ROTATION_METHOD)."""
     ks = jax.random.split(key, 6)
-    img = random_rotation(ks[0], img, 180.0, p=0.5, method=ROTATION_METHOD)
+    img = random_rotation(
+        ks[0], img, 180.0, p=0.5, method=rotation_method or ROTATION_METHOD)
     img = random_resized_crop(ks[1], img, out_size, scale=(0.2, 1.0), method="cubic")
     img = gaussian_blur(ks[2], img, sigma_range=(0.1, 2.0), radius=3, p=0.5)
     img = random_hflip(ks[3], img)

@@ -65,6 +65,7 @@ def make_moco_task(
     num_negatives: int = 65536,
     view_size: int = 224,
     augment: bool = True,
+    rotation_method: str | None = None,
 ) -> Tuple[Task, UNetEncoderGAP]:
     model = model or UNetEncoderGAP()
 
@@ -72,8 +73,8 @@ def make_moco_task(
         imgs = batch  # (B, H, W) raw 256-cached images
         if augment:
             kq, kk = jax.random.split(rng)
-            img_q = vmap_aug(moco_view_aug, kq, imgs, view_size)
-            img_k = vmap_aug(moco_view_aug, kk, imgs, view_size)
+            img_q = vmap_aug(moco_view_aug, kq, imgs, view_size, rotation_method)
+            img_k = vmap_aug(moco_view_aug, kk, imgs, view_size, rotation_method)
         else:
             img_q, img_k = imgs, imgs
 
@@ -159,6 +160,7 @@ def make_moco_validate(
     temperature: float = 0.07,
     view_size: int = 224,
     augment: bool = True,
+    rotation_method: str | None = None,
 ):
     """Validation step vs the val queue with precision@1/5
     (moco2_module.py:311-336). Returns a jitted fn
@@ -168,8 +170,8 @@ def make_moco_validate(
     def validate(state, val_queue, imgs, key):
         if augment:
             kq, kk = jax.random.split(key)
-            img_q = vmap_aug(moco_view_aug, kq, imgs, view_size)
-            img_k = vmap_aug(moco_view_aug, kk, imgs, view_size)
+            img_q = vmap_aug(moco_view_aug, kq, imgs, view_size, rotation_method)
+            img_k = vmap_aug(moco_view_aug, kk, imgs, view_size, rotation_method)
         else:
             img_q = img_k = imgs
         variables = {"params": state.params, "batch_stats": state.batch_stats}

@@ -97,6 +97,12 @@ def test_pipelines_jit_and_shapes(rng):
     assert out.shape == (4, 64, 64)
     out = jax.jit(lambda k, b: augment.vmap_aug(augment.moco_view_aug, k, b, 32))(KEY, imgs)
     assert out.shape == (4, 32, 32)
+    # the task.rotation_method knob threads through the vmapped pipeline
+    out3 = jax.jit(
+        lambda k, b: augment.vmap_aug(augment.moco_view_aug, k, b, 32, "shear3")
+    )(KEY, imgs)
+    assert out3.shape == (4, 32, 32)
+    assert bool(jnp.all(jnp.isfinite(out3)))
     v1, v2 = jax.jit(
         lambda k, b: augment.vmap_aug(augment.cmunet_two_views, k, b, 32, 8)
     )(KEY, jnp.asarray(rng.normal(size=(4, 256, 256)).astype(np.float32)))

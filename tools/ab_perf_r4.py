@@ -200,11 +200,16 @@ def cmd_moco(args):
     removed from the compiled program, FLOPs otherwise identical), so
     full - no_aug isolates what the in-step aug REALLY costs after fusion.
     """
+    from cmx.ops import augment as _aug
     from cmx.ops.augment import moco_view_aug, vmap_aug
     from cmx.ssl.moco import init_moco_extra, make_moco_task
     from cmx.train.optim import make_optimizer
     from cmx.train.state import TrainState
     from cmx.train.trainer import make_train_step
+
+    # --rot flips the module-level default so BOTH the aug_only probe and
+    # the task built below (rotation_method=None -> global) use it.
+    _aug.ROTATION_METHOD = args.rot
 
     batch, view = args.batch, 224
     rng = np.random.default_rng(0)
@@ -287,6 +292,7 @@ if __name__ == "__main__":
     p.add_argument("--batch", type=int, default=128)
     p.add_argument("--variant", default="full",
                    choices=["full", "fwd_only", "aug_only", "no_aug", "cost"])
+    p.add_argument("--rot", default="nearest", choices=["nearest", "shear3"])
     args = ap.parse_args()
     {"remat": cmd_remat, "step": cmd_step, "cmunet": cmd_cmunet,
      "moco": cmd_moco}[args.cmd](args)
