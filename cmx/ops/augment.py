@@ -102,10 +102,13 @@ def random_rot90(key: jax.Array, img: jnp.ndarray) -> jnp.ndarray:
 
 
 # Rotation formulation used by moco_view_aug. "nearest" is the
-# reference-faithful pointwise gather; "shear3" is the rot90+three-shear
-# reformulation (contiguous vmapped dynamic slices instead of a full-image
-# gather — gathers cost ~110 ms flat per 128x256² batch on this TPU).
-# Flip after the on-TPU A/B (tools/ab_moco_aug.py rot) proves the win.
+# reference-faithful gather (now a single flat 1-D take, see
+# random_rotation); "shear3" is the rot90+three-shear reformulation
+# (contiguous vmapped dynamic slices instead of a full-image gather).
+# On-TPU A/B (tools/ab_moco_aug.py rot, runs/r4/moco_aug.log): shear3 390 ms
+# vs flat-nearest 328 ms per 128x256² batch AND 29% per-pixel rounding
+# deviation — the shears measured slower than the flat take, so "nearest"
+# stays the default and shear3 remains an opt-in knob.
 ROTATION_METHOD = "nearest"
 
 
@@ -171,6 +174,9 @@ def random_rotation(
     replaces the gather with the rot90+three-shear formulation
     (_rotate_shear3) — same distribution, per-pixel rounding deviation only.
     """
+    assert img.ndim == 2, (
+        f"random_rotation expects a single (H, W) image (vmap over batch/"
+        f"channels via vmap_aug); got shape {img.shape}")
     kp, ka = jax.random.split(key)
     angle = jnp.deg2rad(jax.random.uniform(ka, minval=-max_degrees, maxval=max_degrees))
     h, w = img.shape[0], img.shape[1]
@@ -193,7 +199,13 @@ def random_rotation(
         iy = jnp.round(src_y).astype(jnp.int32)
         ix = jnp.round(src_x).astype(jnp.int32)
         inside = (iy >= 0) & (iy < h) & (ix >= 0) & (ix < w)
-        rot = img[jnp.clip(iy, 0, h - 1), jnp.clip(ix, 0, w - 1)]
+        # One flat 1-D take instead of the 2-D img[iy, ix] gather: bit
+        # identical (clipped linear index == gather of clipped coords) and
+        # 21% faster on this TPU — 328 vs 415 ms per 128x256² batch
+        # (tools/ab_moco_aug.py rot, runs/r4/moco_aug.log: flat
+        # pixel_mismatch_vs_direct = 0.0).
+        idx = jnp.clip(iy, 0, h - 1) * w + jnp.clip(ix, 0, w - 1)
+        rot = jnp.take(img.reshape(-1), idx.reshape(-1)).reshape(h, w)
         rot = jnp.where(inside, rot, 0.0).astype(jnp.float32)
     return jnp.where(jax.random.uniform(kp) < p, rot, img)
 

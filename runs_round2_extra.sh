@@ -94,19 +94,8 @@ for t in cmunet spark genesis moco mae; do
 done
 echo EXTRA_E2_DONE
 
-# ---- E3. MoCo rotation=shear3 transfer check (gather-free aug) ----
-FT1_S0="data.data_dir=runs/hard400 data.ratio=0.01"
-# Same seed-0 corpus + preset as the matrix moco cell; only the rotation
-# formulation changes. If ft01 Dice lands within noise of the nearest-gather
-# cell (0.5264 unified stream), the fast formulation is transfer-equivalent.
-retry_tpu $R/pretrain_moco_shear3.log python -m cmx.cli.pretrain --task moco \
-  --preset data.data_dir=runs/hard400 data.ratio=0.01 \
-  train.ckpt_dir=$R/ckpt_rot train.resume=False train.epochs=400 \
-  train.batch_size=64 task.num_negatives=4096 task.rotation_method=shear3
-mkdir -p $R/ckpt_rot/moco_shear3
-cp $R/ckpt_rot/moco/encoder.npz $R/ckpt_rot/moco_shear3/encoder.npz
-retry_tpu $R/ft_moco_shear3.log python -m cmx.cli.finetune \
-  -p $R/ckpt_rot/moco_shear3/encoder.npz --out $R/ft --batches 4 -- $FT1_S0
-harvest $R/ft ft01
-echo EXTRA_E3_DONE
+# E3 (moco shear3 pretrain + ft01) was dropped: the on-TPU rotation A/B
+# (runs/r4/moco_flat_rot.log) showed shear3 is SLOWER than the flat-take
+# nearest gather (390 vs 328 ms/batch) with 29% pixel deviation, so there
+# is no flip decision left to validate — nearest stays the default.
 echo ROUND2_EXTRA_DONE
