@@ -17,6 +17,13 @@ Subcommands:
                 shear3  : rot90(k) + three nearest shears, each a vmapped
                           dynamic_slice of contiguous rows/cols
               prints ms + % pixel mismatch vs direct (same keys).
+  crop      — A/B random_resized_crop variants at b128: cubic+antialias
+              (what moco_view_aug shipped with), linear+antialias
+              (torchvision RandomResizedCrop's DEFAULT interpolation —
+              the reference-faithful choice for MoCo,
+              pl_bolts/.../moco_data_module.py:123 passes no
+              interpolation), both without antialias, and a bf16-compute
+              cubic. Prints ms + mean|diff| vs linear+antialias.
 
 Run:  PYTHONPATH=/root/repo:/root/.axon_site python -u tools/ab_moco_aug.py breakdown
 """
@@ -149,13 +156,68 @@ def rot_ab():
                           "pixel_mismatch_vs_direct": round(mismatch, 4)}))
 
 
+# ---------------------------------------------------------------------------
+# crop/resize formulations
+
+
+def _rrc_variant(key, img, method, antialias, dtype=jnp.float32):
+    """random_resized_crop's exact window math with a configurable
+    resample (cmx/ops/augment.py:32-78 keeps method but hard-codes
+    antialias=True, fp32); identical keys -> identical crop windows, so
+    variants differ only in the resample itself."""
+    h, w = img.shape
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    area = h * w * jax.random.uniform(k1, minval=0.2, maxval=1.0)
+    log_r = jax.random.uniform(k2, minval=jnp.log(3 / 4), maxval=jnp.log(4 / 3))
+    aspect = jnp.exp(log_r)
+    cw = jnp.clip(jnp.sqrt(area * aspect), 1.0, w)
+    ch = jnp.clip(jnp.sqrt(area / aspect), 1.0, h)
+    y0 = jax.random.uniform(k3) * (h - ch)
+    x0 = jax.random.uniform(k4) * (w - cw)
+    sy = VIEW / ch
+    sx = VIEW / cw
+    out = jax.image.scale_and_translate(
+        img[..., None].astype(dtype), (VIEW, VIEW, 1), (0, 1),
+        jnp.stack([sy, sx]).astype(dtype),
+        jnp.stack([-y0 * sy, -x0 * sx]).astype(dtype),
+        method=method, antialias=antialias)
+    return out[..., 0].astype(jnp.float32)
+
+
+def crop_ab():
+    yy, xx = np.mgrid[0:SIZE, 0:SIZE]
+    one = np.sin(yy / 25.0) + np.cos(xx / 19.0)
+    imgs = jnp.asarray(np.broadcast_to(one, (BATCH, SIZE, SIZE)).copy(),
+                       dtype=jnp.float32)
+    keys = jax.random.split(jax.random.key(0), BATCH)
+    variants = {
+        "cubic_aa": ("cubic", True, jnp.float32),
+        "linear_aa": ("linear", True, jnp.float32),
+        "cubic_noaa": ("cubic", False, jnp.float32),
+        "linear_noaa": ("linear", False, jnp.float32),
+        "cubic_aa_bf16": ("cubic", True, jnp.bfloat16),
+    }
+    ref = jax.jit(jax.vmap(partial(_rrc_variant, method="linear",
+                                   antialias=True)))(keys, imgs)
+    for name, (method, aa, dt) in variants.items():
+        f = jax.jit(jax.vmap(partial(_rrc_variant, method=method,
+                                     antialias=aa, dtype=dt)))
+        ms = _time(f, keys, imgs) * 1e3
+        out = f(keys, imgs)
+        diff = float(jnp.mean(jnp.abs(out - ref)))
+        print(json.dumps({"crop": name, "ms_per_batch": round(ms, 2),
+                          "mean_abs_diff_vs_linear_aa": round(diff, 5)}))
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("cmd", choices=["breakdown", "rot"])
+    ap.add_argument("cmd", choices=["breakdown", "rot", "crop"])
     args = ap.parse_args()
     print(f"# devices: {jax.devices()}")
     if args.cmd == "breakdown":
         breakdown()
+    elif args.cmd == "crop":
+        crop_ab()
     else:
         rot_ab()
 
