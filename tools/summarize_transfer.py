@@ -155,6 +155,42 @@ def matrix(root="runs/transfer_r2"):
               + ", ".join(f"{SPLIT_NAME[r]}: {rho:+.2f}" for r, rho in rhos))
 
 
+def seed_column(seed1_dir="artifacts/r2/seed1_ft01",
+                seed0_dir="artifacts/r2/ft01"):
+    """Compare the seed-1 replication of the 79/1-analog column (fresh
+    corpus seed, re-pretrained encoders; extras E2) against the seed-0
+    column: per-method Dice side by side, rank agreement, and whether the
+    two headline claims (CM-UNet strongest, scratch last, SSL > scratch)
+    hold under the replication."""
+    def col(d):
+        out = {}
+        for path in glob.glob(os.path.join(d, "test_*.json")):
+            tag = os.path.basename(path)[5:-5]
+            tag = "scratch" if tag == "None" else tag
+            with open(path) as f:
+                out[tag] = json.load(f)["dice"]
+        return out
+    c0, c1 = col(seed0_dir), col(seed1_dir)
+    tags = [t for t in ("scratch", "cmunet", "spark", "genesis", "moco",
+                        "mae") if t in c0 and t in c1]
+    if len(tags) < 2:
+        return
+    print("\n## seed replication of the 79/1-analog column (E2)")
+    print("| method | seed 0 | seed 1 | Δ |")
+    print("|---|---|---|---|")
+    for t in tags:
+        print(f"| {t} | {c0[t]:.4f} | {c1[t]:.4f} | {c1[t]-c0[t]:+.4f} |")
+    rank = lambda c: sorted(tags, key=lambda t: -c[t])
+    print(f"\nseed-0 order: {' > '.join(rank(c0))}")
+    print(f"seed-1 order: {' > '.join(rank(c1))}")
+    for name, c in (("seed 0", c0), ("seed 1", c1)):
+        ssl = [t for t in tags if t != "scratch"]
+        beats = [t for t in ssl if c[t] > c["scratch"]]
+        print(f"{name}: SSL beating scratch {len(beats)}/{len(ssl)}; "
+              f"best = {rank(c)[0]}; scratch rank = "
+              f"{rank(c).index('scratch') + 1}/{len(tags)}")
+
+
 def main():
     args = sys.argv[1:] or ["runs/transfer_r2", "runs/mae_r4"]
     for arg in args:
@@ -162,6 +198,7 @@ def main():
             summarize(ft_dir)
     if not sys.argv[1:] or sys.argv[1:][0].rstrip("/").endswith("transfer_r2"):
         matrix(args[0] if sys.argv[1:] else "runs/transfer_r2")
+        seed_column()
 
 
 if __name__ == "__main__":
