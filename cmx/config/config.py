@@ -109,6 +109,11 @@ class TaskConfig:
     # three-shear, gather-free — see cmx/ops/augment.py and the round-5
     # MoCo profile in RESULTS.md). Same angle distribution either way.
     rotation_method: str = "nearest"
+    # MoCo crop resample: "linear" = torchvision RandomResizedCrop's default
+    # BILINEAR (the reference passes no interpolation,
+    # moco_data_module.py:123); "cubic" = the pre-2026-08-18 cmx behavior
+    # (see cmx/ops/augment.py CROP_METHOD note and RESULTS.md).
+    crop_method: str = "linear"
     full_unet: bool = True
     augment: bool = True
     # SparK: fused Pallas loss tail (cmx.ops.pallas_ops); A/B'd on TPU in

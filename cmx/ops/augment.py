@@ -438,20 +438,32 @@ def spark_pretrain_aug(key: jax.Array, img: jnp.ndarray, out_size: int = 256) ->
     return random_hflip(k2, img)
 
 
+# MoCo crop resample. The reference's RandomResizedCrop(224, scale=(0.2, 1))
+# passes no interpolation (pl_bolts/.../moco_data_module.py:123), so it uses
+# torchvision's DEFAULT = BILINEAR -> "linear" here. (SparK and CM-UNet
+# request bicubic explicitly and keep method="cubic" at their call sites.)
+# Until 2026-08-18 this chain used "cubic" — an undocumented deviation; the
+# committed round-2 moco matrix column was captured with it (recapture and
+# delta in RESULTS.md). "cubic" remains available via task.crop_method.
+CROP_METHOD = "linear"
+
+
 def moco_view_aug(
     key: jax.Array, img: jnp.ndarray, out_size: int = 224,
-    rotation_method: str | None = None,
+    rotation_method: str | None = None, crop_method: str | None = None,
 ) -> jnp.ndarray:
     """One MoCo 'global' view (moco_data_module.py:119-132): RandomRotation(180)
     p.5 -> RandomResizedCrop(224, (0.2, 1)) -> GaussianBlur p.5 -> HFlip ->
     VFlip -> GaussNoise(max/10) p.5.
 
-    rotation_method overrides the module default (task.rotation_method in
-    config; None -> ROTATION_METHOD)."""
+    rotation_method / crop_method override the module defaults
+    (task.rotation_method / task.crop_method in config; None ->
+    ROTATION_METHOD / CROP_METHOD)."""
     ks = jax.random.split(key, 6)
     img = random_rotation(
         ks[0], img, 180.0, p=0.5, method=rotation_method or ROTATION_METHOD)
-    img = random_resized_crop(ks[1], img, out_size, scale=(0.2, 1.0), method="cubic")
+    img = random_resized_crop(ks[1], img, out_size, scale=(0.2, 1.0),
+                              method=crop_method or CROP_METHOD)
     img = gaussian_blur(ks[2], img, sigma_range=(0.1, 2.0), radius=3, p=0.5)
     img = random_hflip(ks[3], img)
     img = random_vflip(ks[4], img)

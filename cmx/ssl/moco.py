@@ -66,6 +66,7 @@ def make_moco_task(
     view_size: int = 224,
     augment: bool = True,
     rotation_method: str | None = None,
+    crop_method: str | None = None,
 ) -> Tuple[Task, UNetEncoderGAP]:
     model = model or UNetEncoderGAP()
 
@@ -73,8 +74,10 @@ def make_moco_task(
         imgs = batch  # (B, H, W) raw 256-cached images
         if augment:
             kq, kk = jax.random.split(rng)
-            img_q = vmap_aug(moco_view_aug, kq, imgs, view_size, rotation_method)
-            img_k = vmap_aug(moco_view_aug, kk, imgs, view_size, rotation_method)
+            img_q = vmap_aug(moco_view_aug, kq, imgs, view_size,
+                             rotation_method, crop_method)
+            img_k = vmap_aug(moco_view_aug, kk, imgs, view_size,
+                             rotation_method, crop_method)
         else:
             img_q, img_k = imgs, imgs
 
@@ -161,6 +164,7 @@ def make_moco_validate(
     view_size: int = 224,
     augment: bool = True,
     rotation_method: str | None = None,
+    crop_method: str | None = None,
 ):
     """Validation step vs the val queue with precision@1/5
     (moco2_module.py:311-336). Returns a jitted fn
@@ -170,8 +174,10 @@ def make_moco_validate(
     def validate(state, val_queue, imgs, key):
         if augment:
             kq, kk = jax.random.split(key)
-            img_q = vmap_aug(moco_view_aug, kq, imgs, view_size, rotation_method)
-            img_k = vmap_aug(moco_view_aug, kk, imgs, view_size, rotation_method)
+            img_q = vmap_aug(moco_view_aug, kq, imgs, view_size,
+                             rotation_method, crop_method)
+            img_k = vmap_aug(moco_view_aug, kk, imgs, view_size,
+                             rotation_method, crop_method)
         else:
             img_q = img_k = imgs
         variables = {"params": state.params, "batch_stats": state.batch_stats}

@@ -139,6 +139,20 @@ def test_pipelines_jit_and_shapes(rng):
     assert v1.shape == (4, 32, 32) and v2.shape == (4, 32, 32)
 
 
+def test_moco_crop_method_knob(rng):
+    """task.crop_method threads through: default == explicit "linear"
+    (torchvision RandomResizedCrop default BILINEAR,
+    moco_data_module.py:123), "cubic" (the pre-fix behavior) differs."""
+    imgs = jnp.asarray(rng.normal(size=(4, 64, 64)).astype(np.float32))
+    run = lambda cm: jax.jit(
+        lambda k, b: augment.vmap_aug(augment.moco_view_aug, k, b, 32, None, cm)
+    )(KEY, imgs)
+    default, linear, cubic = run(None), run("linear"), run("cubic")
+    assert jnp.array_equal(default, linear)
+    assert not jnp.array_equal(default, cubic)
+    assert cubic.shape == (4, 32, 32) and bool(jnp.all(jnp.isfinite(cubic)))
+
+
 # ------------------------------------------------------------------ genesis
 
 
