@@ -156,7 +156,7 @@ def matrix(root="runs/transfer_r2"):
 
 
 def seed_column(seed1_dir="artifacts/r2/seed1_ft01",
-                seed0_dir="artifacts/r2/ft01"):
+                seed0_dir="artifacts/r2/ft01", label="79/1-analog"):
     """Compare the seed-1 replication of the 79/1-analog column (fresh
     corpus seed, re-pretrained encoders; extras E2) against the seed-0
     column: per-method Dice side by side, rank agreement, and whether the
@@ -175,7 +175,7 @@ def seed_column(seed1_dir="artifacts/r2/seed1_ft01",
                         "mae") if t in c0 and t in c1]
     if len(tags) < 2:
         return
-    print("\n## seed replication of the 79/1-analog column (E2)")
+    print(f"\n## seed replication of the {label} column")
     print("| method | seed 0 | seed 1 | Δ |")
     print("|---|---|---|---|")
     for t in tags:
@@ -199,6 +199,8 @@ def main():
     if not sys.argv[1:] or sys.argv[1:][0].rstrip("/").endswith("transfer_r2"):
         matrix(args[0] if sys.argv[1:] else "runs/transfer_r2")
         seed_column()
+        seed_column("artifacts/r2/seed1_ft30", "artifacts/r2/ft30",
+                    label="50/30-analog")
 
 
 if __name__ == "__main__":
