@@ -1,0 +1,114 @@
+#!/bin/bash
+# Round-2 resume queue: the session reset wiped runs/ (gitignored), losing
+# the in-flight final queue's outputs. Everything here is a re-run of
+# already-committed recipes; pretraining is seed-deterministic so encoders
+# reproduce bitwise (RESULTS round-2 "encoders re-pretrained this round
+# reproduce the round-3 runs bitwise").
+#   0  corpora: seed-0 runs/hard400 + seed-1 runs/hard400_s1
+#   A  moco-linear recapture (seed-0): re-pretrain MoCo with the
+#      reference-faithful BILINEAR crop default (commit bcecd28) and
+#      recapture the 79/1 cell -> quantifies the fixed deviation's effect
+#      on the committed matrix (captured with cubic).
+#   P  seed-1 pretrains (5 regimes) — lost encoders, needed for C.
+#   C  seed-1 ft30 column: all six regimes at the 50/30-analog on the
+#      seed-1 corpus -> tests that the WIDEST split is seed-stable (the
+#      complement of E2's "79/1 is seed noise" finding).
+#   B  bench refresh: BENCH_ALL regimes + headline.
+set -x
+export PYTHONPATH=/root/repo:/root/.axon_site
+cd /root/repo
+A=artifacts/r2
+mkdir -p runs/r4
+
+wait_tpu () {
+  local n=0
+  while true; do
+    timeout 420 python -c "
+import jax, jax.numpy as jnp
+x = jnp.ones((256, 256))
+assert float((x @ x).sum()) > 0
+" && return 0
+    n=$((n + 1)); echo "TPU unavailable (attempt $n); sleeping 180s"; sleep 180
+  done
+}
+retry_tpu () {
+  local log=$1; shift
+  local i
+  for i in 1 2 3 4; do
+    wait_tpu
+    timeout 10800 "$@" >> "$log" 2>&1 && return 0
+    echo "attempt $i failed: $*" | tee -a "$log"
+  done
+  return 1
+}
+harvest () {
+  mkdir -p $A/$2
+  cp $1/test_*.json $A/$2/ 2>/dev/null
+  cp $1/result_finetuning_unet_*.pkl $A/$2/ 2>/dev/null
+  true
+}
+
+# ---- 0. corpora ----
+python - <<'EOF'
+from cmx.data.synthetic import write_corpus
+write_corpus("runs/hard400", n=400, size=256, seed=0, hard=True)
+write_corpus("runs/hard400_s1", n=400, size=256, seed=1, hard=True)
+print("corpora done")
+EOF
+echo RESUME_0_DONE
+
+# ---- A. moco-linear recapture ----
+ML=runs/moco_linear
+mkdir -p $ML
+retry_tpu $ML/pretrain.log python -m cmx.cli.pretrain --task moco --preset \
+  data.data_dir=runs/hard400 data.ratio=0.01 train.ckpt_dir=$ML/ckpt \
+  train.resume=False train.epochs=400 train.batch_size=64 \
+  task.num_negatives=4096
+mkdir -p $ML/enc/moco_linear
+cp $ML/ckpt/moco/encoder.npz $ML/enc/moco_linear/encoder.npz
+retry_tpu $ML/ft.log python -m cmx.cli.finetune -p $ML/enc/moco_linear/encoder.npz \
+  --out $ML/ft --batches 4 -- data.data_dir=runs/hard400 data.ratio=0.01
+harvest $ML/ft moco_linear
+echo RESUME_A_DONE
+
+# ---- P. seed-1 pretrains (recipe = runs_round2_extra.sh E2) ----
+S=runs/seed1
+mkdir -p $S
+COMMON="data.data_dir=runs/hard400_s1 data.ratio=0.01 train.ckpt_dir=$S/ckpt"
+pretrain_task () {
+  local t=$1; shift
+  wait_tpu
+  if ! timeout 10800 python -m cmx.cli.pretrain --task $t --preset $COMMON \
+      train.resume=False "$@" >> $S/pretrain_$t.log 2>&1; then
+    retry_tpu $S/pretrain_$t.log python -m cmx.cli.pretrain --task $t \
+      --preset $COMMON train.resume=True "$@" || return 1
+  fi
+}
+pretrain_task spark train.epochs=800 train.batch_size=64 task.pallas_loss=False
+pretrain_task mae train.epochs=400 train.batch_size=64 \
+  optim.name=sgd optim.lr=1e-2 optim.weight_decay=0.0 optim.clip_norm=None
+pretrain_task cmunet train.epochs=400 train.batch_size=64
+pretrain_task moco train.epochs=400 train.batch_size=64 task.num_negatives=4096
+pretrain_task genesis train.epochs=400 train.batch_size=64
+echo RESUME_P_DONE
+
+# ---- C. seed-1 ft30 column ----
+FT30="data.data_dir=runs/hard400_s1 data.ratio=0.3"
+retry_tpu $S/ft30_scratch.log python -m cmx.cli.finetune --out $S/ft30 --batches 32 -- $FT30
+harvest $S/ft30 seed1_ft30
+for t in cmunet spark genesis moco mae; do
+  retry_tpu $S/ft30_$t.log python -m cmx.cli.finetune -p $S/ckpt/$t/encoder.npz \
+    --out $S/ft30 --batches 32 -- $FT30
+  harvest $S/ft30 seed1_ft30
+done
+echo RESUME_C_DONE
+
+# ---- B. bench refresh ----
+wait_tpu
+timeout 3600 python bench.py --all > runs/r4/bench_all_r2final.json 2> runs/r4/bench_all_r2final.err
+cp runs/r4/bench_all_r2final.json $A/bench_all.json 2>/dev/null
+wait_tpu
+timeout 3600 python bench.py > runs/r4/bench_r2final.json 2> runs/r4/bench_r2final.err
+cp runs/r4/bench_r2final.json $A/bench.json 2>/dev/null
+echo RESUME_B_DONE
+echo ROUND2_RESUME_DONE
