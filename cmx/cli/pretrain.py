@@ -67,6 +67,7 @@ def build_task(cfg: Config, dtype):
             augment=t.augment,
             rotation_method=t.rotation_method,
             crop_method=t.crop_method,
+            crop_impl=t.crop_impl,
         )
         init = lambda key, x: model.init(key, x[:1, : t.view_size, : t.view_size])
 
@@ -313,6 +314,7 @@ def main(argv: Optional[list] = None) -> None:
                 view_size=cfg.task.view_size, augment=cfg.task.augment,
                 rotation_method=cfg.task.rotation_method,
                 crop_method=cfg.task.crop_method,
+                crop_impl=cfg.task.crop_impl,
             )
             val_queue = init_val_queue(
                 jax.random.fold_in(root_key, 97), cfg.task.num_negatives

@@ -114,6 +114,12 @@ class TaskConfig:
     # moco_data_module.py:123); "cubic" = the pre-2026-08-18 cmx behavior
     # (see cmx/ops/augment.py CROP_METHOD note and RESULTS.md).
     crop_method: str = "linear"
+    # MoCo crop execution: "scale_translate" = jax.image.scale_and_translate;
+    # "einsum" = the same separable weight matrices as two explicit batched
+    # dots (identical linear map, fp round-off only); "einsum_bf16" = bf16
+    # dots with fp32 accumulation (documented numeric deviation). See
+    # cmx/ops/augment.py CROP_IMPL and the round-2 MoCo aug A/B in RESULTS.md.
+    crop_impl: str = "scale_translate"
     full_unet: bool = True
     augment: bool = True
     # SparK: fused Pallas loss tail (cmx.ops.pallas_ops); A/B'd on TPU in

@@ -14,6 +14,7 @@ All ops operate on single images (H, W) float32 unless stated; use
 
 from __future__ import annotations
 
+import math
 from typing import Callable, Tuple
 
 import jax
@@ -29,6 +30,60 @@ def vmap_aug(fn: Callable, key: jax.Array, batch: jnp.ndarray, *args):
 # ---------------------------------------------------------------- geometry
 
 
+def _keys_cubic_kernel(x: jnp.ndarray) -> jnp.ndarray:
+    """Keys cubic convolution kernel, a=-0.5 (Keys 1981) on |x| — the same
+    piecewise polynomial jax.image uses for method="cubic"."""
+    out = ((1.5 * x - 2.5) * x) * x + 1.0
+    out = jnp.where(x >= 1.0, ((-0.5 * x + 2.5) * x - 4.0) * x + 2.0, out)
+    return jnp.where(x >= 2.0, 0.0, out)
+
+
+def _resize_weight_mat(
+    in_size: int,
+    out_size: int,
+    scale: jnp.ndarray,
+    translation: jnp.ndarray,
+    method: str = "linear",
+    antialias: bool = True,
+) -> jnp.ndarray:
+    """(in_size, out_size) resampling weights for a 1-D scale+translate.
+
+    Re-derivation of the standard resize weight matrix (identical math to
+    jax.image.scale_and_translate's internal weights: half-pixel-centered
+    sample positions, kernel widened by 1/scale when downscaling iff
+    antialias, per-output-column renormalization, out-of-range columns
+    zeroed). Verified against jax.image.scale_and_translate to fp32
+    round-off in tests/test_ops.py. Exposing the matrix lets the crop be a
+    plain batched matmul (see random_resized_crop impl="einsum") instead of
+    a per-sample einsum at Precision.HIGHEST."""
+    inv = 1.0 / scale
+    kernel_scale = jnp.maximum(inv, 1.0) if antialias else jnp.float32(1.0)
+    sample_f = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * inv \
+        - translation * inv - 0.5
+    x = jnp.abs(sample_f[None, :]
+                - jnp.arange(in_size, dtype=jnp.float32)[:, None]) / kernel_scale
+    if method in ("linear", "triangle", "bilinear"):
+        w = jnp.maximum(0.0, 1.0 - x)
+    elif method in ("cubic", "bicubic"):
+        w = _keys_cubic_kernel(x)
+    else:
+        raise ValueError(f"unsupported resize method {method!r}")
+    total = jnp.sum(w, axis=0, keepdims=True)
+    w = jnp.where(jnp.abs(total) > 1000.0 * jnp.finfo(jnp.float32).eps,
+                  w / jnp.where(total != 0, total, 1), 0)
+    valid = (sample_f >= -0.5) & (sample_f <= in_size - 0.5)
+    return jnp.where(valid[None, :], w, 0)
+
+
+# Crop implementation knob (task.crop_impl). "scale_translate" calls
+# jax.image.scale_and_translate (per-sample einsum at Precision.HIGHEST);
+# "einsum" applies the SAME weight matrices (_resize_weight_mat) as two
+# explicit fp32 dots — mathematically the identical linear map, fp
+# round-off differences only; "einsum_bf16" casts image and weights to
+# bf16 with fp32 accumulation (documented numeric deviation, opt-in).
+CROP_IMPL = "scale_translate"
+
+
 def random_resized_crop(
     key: jax.Array,
     img: jnp.ndarray,
@@ -36,13 +91,16 @@ def random_resized_crop(
     scale: Tuple[float, float] = (0.2, 1.0),
     ratio: Tuple[float, float] = (3 / 4, 4 / 3),
     method: str = "linear",
+    impl: str | None = None,
 ) -> jnp.ndarray:
-    """torchvision-style RandomResizedCrop as one fused scale_and_translate.
+    """torchvision-style RandomResizedCrop as one fused resample.
 
     Chooses target area/aspect like torchvision (uniform area in `scale`,
     log-uniform aspect in `ratio`), then resamples the crop window straight to
-    (out_size, out_size) with jax.image.scale_and_translate — crop + resize is
-    a single XLA gather/convolution, no dynamic shapes.
+    (out_size, out_size) — crop + resize is one linear map, no dynamic shapes.
+    `impl` picks how that map executes (see CROP_IMPL; None -> CROP_IMPL):
+    jax.image.scale_and_translate, or the same separable weight matrices
+    applied as two explicit batched dots.
 
     Reference usages: SparK RandomResizedCrop(256, scale=(0.67, 1))
     (Spark/utils/dataset.py:38), MoCo RandomResizedCrop(224, scale=(0.2, 1))
@@ -65,16 +123,34 @@ def random_resized_crop(
     # Map crop window [y0, y0+ch) x [x0, x0+cw) onto (out, out):
     sy = out_size / ch
     sx = out_size / cw
-    img3 = img[..., None] if img.ndim == 2 else img
-    out = jax.image.scale_and_translate(
-        img3.astype(jnp.float32),
-        (out_size, out_size, img3.shape[-1]),
-        (0, 1),
-        jnp.stack([sy, sx]),
-        jnp.stack([-y0 * sy, -x0 * sx]),
-        method=method,
-        antialias=True,
-    )
+    impl = impl or CROP_IMPL
+    if impl in ("einsum", "einsum_bf16"):
+        wy = _resize_weight_mat(h, out_size, sy, -y0 * sy, method)  # (h, out)
+        wx = _resize_weight_mat(w, out_size, sx, -x0 * sx, method)  # (w, out)
+        img3 = (img[..., None] if img.ndim == 2 else img).astype(jnp.float32)
+        if impl == "einsum_bf16":
+            # bf16 operands at default (fastest) precision; the MXU
+            # accumulates partials in fp32 internally.
+            img3, wy, wx = (a.astype(jnp.bfloat16) for a in (img3, wy, wx))
+            prec = None
+        else:
+            # fp32-exact dots so "einsum" == scale_and_translate up to fp32
+            # round-off on TPU too (DEFAULT would run 1-pass bf16 there).
+            prec = jax.lax.Precision.HIGHEST
+        # (h, w, c) -> (out, w, c) -> (out, out, c)
+        t = jnp.einsum("ho,hwc->owc", wy, img3, precision=prec)
+        out = jnp.einsum("wp,owc->opc", wx, t, precision=prec).astype(jnp.float32)
+    else:
+        img3 = img[..., None] if img.ndim == 2 else img
+        out = jax.image.scale_and_translate(
+            img3.astype(jnp.float32),
+            (out_size, out_size, img3.shape[-1]),
+            (0, 1),
+            jnp.stack([sy, sx]),
+            jnp.stack([-y0 * sy, -x0 * sx]),
+            method=method,
+            antialias=True,
+        )
     return out[..., 0] if img.ndim == 2 else out
 
 
@@ -126,6 +202,33 @@ def _shear_rows(img: jnp.ndarray, shifts: jnp.ndarray) -> jnp.ndarray:
     return jax.vmap(row)(pad, shifts)
 
 
+def _shear_rows_conv(
+    img: jnp.ndarray, shifts: jnp.ndarray, max_shift: int
+) -> jnp.ndarray:
+    """_shear_rows with a static shift bound, as ONE depthwise 1-D conv.
+
+    out[i, j] = img[i, j + shifts[i]] (zero fill, |shifts| <= max_shift),
+    written as a correlation of each row with a one-hot kernel selecting its
+    shift: rows become channels, the per-row one-hot kernels become a
+    grouped-conv rhs. Bit-identical to _shear_rows (integer shifts of the
+    same zero-padded rows) but structured compute instead of h dynamic
+    slices — XLA lowers vmapped dynamic slices to serialized DUS loops
+    (~130 ms per 128x256² shear, RESULTS round 4) while a depthwise conv
+    vectorizes on the VPU."""
+    h, w = img.shape
+    m = int(max_shift)
+    pad = jnp.pad(img, ((0, 0), (m, m)))  # pad[i, k] = img[i, k - m]
+    # out[i, j] = pad[i, j + shifts[i] + m] = sum_d pad[i, j + d] * K[d, i]
+    onehot = (shifts[None, :] + m
+              == jnp.arange(2 * m + 1, dtype=shifts.dtype)[:, None])
+    lhs = pad.T[None]                                    # (1, w+2m, h) NWC
+    rhs = onehot.astype(img.dtype)[:, None, :]           # (2m+1, 1, h) WIO
+    out = jax.lax.conv_general_dilated(
+        lhs, rhs, window_strides=(1,), padding="VALID",
+        dimension_numbers=("NWC", "WIO", "NWC"), feature_group_count=h)
+    return out[0].T
+
+
 def _rotate_shear3(img: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
     """Nearest rotation as rot90(k) + three integer shears (x, y, x).
 
@@ -154,9 +257,13 @@ def _rotate_shear3(img: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
     xx = jnp.arange(w) - (w - 1) / 2.0
     sx = jnp.round(a * yy).astype(jnp.int32)
     sy = jnp.round(b * xx).astype(jnp.int32)
-    img = _shear_rows(img, sx)
-    img = _shear_rows(img.T, sy).T
-    img = _shear_rows(img, sx)
+    # Static shift bounds: |a| <= tan(pi/8), |b| <= sin(pi/4) since
+    # phi in [-pi/4, pi/4]; +1 covers the 0.5 rounding headroom.
+    mx = int(math.tan(math.pi / 8) * (h - 1) / 2 + 0.5) + 1
+    my = int(math.sin(math.pi / 4) * (w - 1) / 2 + 0.5) + 1
+    img = _shear_rows_conv(img, sx, mx)
+    img = _shear_rows_conv(img.T, sy, my).T
+    img = _shear_rows_conv(img, sx, mx)
     return img.astype(jnp.float32)
 
 
@@ -451,19 +558,21 @@ CROP_METHOD = "linear"
 def moco_view_aug(
     key: jax.Array, img: jnp.ndarray, out_size: int = 224,
     rotation_method: str | None = None, crop_method: str | None = None,
+    crop_impl: str | None = None,
 ) -> jnp.ndarray:
     """One MoCo 'global' view (moco_data_module.py:119-132): RandomRotation(180)
     p.5 -> RandomResizedCrop(224, (0.2, 1)) -> GaussianBlur p.5 -> HFlip ->
     VFlip -> GaussNoise(max/10) p.5.
 
-    rotation_method / crop_method override the module defaults
-    (task.rotation_method / task.crop_method in config; None ->
-    ROTATION_METHOD / CROP_METHOD)."""
+    rotation_method / crop_method / crop_impl override the module defaults
+    (task.rotation_method / task.crop_method / task.crop_impl in config;
+    None -> ROTATION_METHOD / CROP_METHOD / CROP_IMPL)."""
     ks = jax.random.split(key, 6)
     img = random_rotation(
         ks[0], img, 180.0, p=0.5, method=rotation_method or ROTATION_METHOD)
     img = random_resized_crop(ks[1], img, out_size, scale=(0.2, 1.0),
-                              method=crop_method or CROP_METHOD)
+                              method=crop_method or CROP_METHOD,
+                              impl=crop_impl or CROP_IMPL)
     img = gaussian_blur(ks[2], img, sigma_range=(0.1, 2.0), radius=3, p=0.5)
     img = random_hflip(ks[3], img)
     img = random_vflip(ks[4], img)

@@ -67,6 +67,7 @@ def make_moco_task(
     augment: bool = True,
     rotation_method: str | None = None,
     crop_method: str | None = None,
+    crop_impl: str | None = None,
 ) -> Tuple[Task, UNetEncoderGAP]:
     model = model or UNetEncoderGAP()
 
@@ -75,9 +76,9 @@ def make_moco_task(
         if augment:
             kq, kk = jax.random.split(rng)
             img_q = vmap_aug(moco_view_aug, kq, imgs, view_size,
-                             rotation_method, crop_method)
+                             rotation_method, crop_method, crop_impl)
             img_k = vmap_aug(moco_view_aug, kk, imgs, view_size,
-                             rotation_method, crop_method)
+                             rotation_method, crop_method, crop_impl)
         else:
             img_q, img_k = imgs, imgs
 
@@ -165,6 +166,7 @@ def make_moco_validate(
     augment: bool = True,
     rotation_method: str | None = None,
     crop_method: str | None = None,
+    crop_impl: str | None = None,
 ):
     """Validation step vs the val queue with precision@1/5
     (moco2_module.py:311-336). Returns a jitted fn
@@ -175,9 +177,9 @@ def make_moco_validate(
         if augment:
             kq, kk = jax.random.split(key)
             img_q = vmap_aug(moco_view_aug, kq, imgs, view_size,
-                             rotation_method, crop_method)
+                             rotation_method, crop_method, crop_impl)
             img_k = vmap_aug(moco_view_aug, kk, imgs, view_size,
-                             rotation_method, crop_method)
+                             rotation_method, crop_method, crop_impl)
         else:
             img_q = img_k = imgs
         variables = {"params": state.params, "batch_stats": state.batch_stats}

@@ -153,6 +153,60 @@ def test_moco_crop_method_knob(rng):
     assert cubic.shape == (4, 32, 32) and bool(jnp.all(jnp.isfinite(cubic)))
 
 
+def test_crop_einsum_impl_matches_scale_and_translate(rng):
+    """random_resized_crop(impl="einsum") applies _resize_weight_mat as two
+    explicit dots; it must reproduce jax.image.scale_and_translate (the
+    "scale_translate" impl) to fp32 round-off for BOTH resample kernels,
+    across random crop windows (scale down to 0.2 => antialiased
+    downsampling paths included)."""
+    img = _img(rng, 96, 96)
+    for method in ("linear", "cubic"):
+        for i in range(6):
+            k = jax.random.fold_in(KEY, i)
+            ref = augment.random_resized_crop(
+                k, img, 48, scale=(0.2, 1.0), method=method,
+                impl="scale_translate")
+            out = augment.random_resized_crop(
+                k, img, 48, scale=(0.2, 1.0), method=method, impl="einsum")
+            np.testing.assert_allclose(
+                np.asarray(out), np.asarray(ref), atol=2e-5, rtol=1e-5)
+
+
+def test_crop_einsum_bf16_close(rng):
+    img = _img(rng, 64, 64)
+    ref = augment.random_resized_crop(KEY, img, 32, impl="scale_translate")
+    out = augment.random_resized_crop(KEY, img, 32, impl="einsum_bf16")
+    assert float(jnp.mean(jnp.abs(out - ref))) < 0.02
+
+
+def test_shear_rows_conv_matches_dynamic_slice(rng):
+    """_shear_rows_conv (one depthwise 1-D conv) must be bit-identical to
+    _shear_rows (vmapped dynamic slices) for any |shift| <= max_shift,
+    including the zero-fill at the borders."""
+    img = _img(rng, 32, 32)
+    shifts = jnp.asarray(rng.integers(-9, 10, size=32), jnp.int32)
+    ref = augment._shear_rows(img, shifts)
+    out = augment._shear_rows_conv(img, shifts, 9)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    # bound exactly at max_shift
+    out2 = augment._shear_rows_conv(img, jnp.full((32,), 9, jnp.int32), 9)
+    ref2 = augment._shear_rows(img, jnp.full((32,), 9, jnp.int32))
+    np.testing.assert_array_equal(np.asarray(out2), np.asarray(ref2))
+
+
+def test_moco_crop_impl_knob(rng):
+    """task.crop_impl threads through moco_view_aug: einsum == default
+    scale_translate to fp round-off; the whole chain stays finite."""
+    imgs = jnp.asarray(rng.normal(size=(4, 64, 64)).astype(np.float32))
+    run = lambda ci: jax.jit(
+        lambda k, b: augment.vmap_aug(
+            augment.moco_view_aug, k, b, 32, None, None, ci)
+    )(KEY, imgs)
+    default, einsum = run(None), run("einsum")
+    np.testing.assert_allclose(
+        np.asarray(einsum), np.asarray(default), atol=3e-5, rtol=1e-4)
+
+
 # ------------------------------------------------------------------ genesis
 
 

@@ -209,15 +209,149 @@ def crop_ab():
                           "mean_abs_diff_vs_linear_aa": round(diff, 5)}))
 
 
+# ---------------------------------------------------------------------------
+# round-2 tail #2: matmul/conv reformulations (crop einsum, conv shear)
+
+
+def crop2_ab():
+    """scale_and_translate vs the explicit einsum impls of the SAME weight
+    matrices (cmx/ops/augment.py random_resized_crop impl=...)."""
+    from cmx.ops import augment as A
+
+    yy, xx = np.mgrid[0:SIZE, 0:SIZE]
+    one = np.sin(yy / 25.0) + np.cos(xx / 19.0)
+    imgs = jnp.asarray(np.broadcast_to(one, (BATCH, SIZE, SIZE)).copy(),
+                       dtype=jnp.float32)
+    keys = jax.random.split(jax.random.key(0), BATCH)
+
+    def run(impl):
+        return jax.jit(jax.vmap(lambda k, im: A.random_resized_crop(
+            k, im, VIEW, scale=(0.2, 1.0), method="linear", impl=impl)))
+
+    ref = run("scale_translate")(keys, imgs)
+    for impl in ("scale_translate", "einsum", "einsum_bf16"):
+        f = run(impl)
+        ms = _time(f, keys, imgs) * 1e3
+        out = f(keys, imgs)
+        diff = float(jnp.max(jnp.abs(out - ref)))
+        print(json.dumps({"crop_impl": impl, "ms_per_batch": round(ms, 2),
+                          "max_abs_diff_vs_scale_translate": round(diff, 6)}))
+
+    # weight construction alone (2 mats/sample) — separates build vs contract
+    def weights_only(k, im):
+        h, w = im.shape
+        k1, k2, k3, k4 = jax.random.split(k, 4)
+        area = h * w * jax.random.uniform(k1, minval=0.2, maxval=1.0)
+        aspect = jnp.exp(jax.random.uniform(
+            k2, minval=jnp.log(3 / 4), maxval=jnp.log(4 / 3)))
+        cw = jnp.clip(jnp.sqrt(area * aspect), 1.0, w)
+        ch = jnp.clip(jnp.sqrt(area / aspect), 1.0, h)
+        y0 = jax.random.uniform(k3) * (h - ch)
+        x0 = jax.random.uniform(k4) * (w - cw)
+        sy, sx = VIEW / ch, VIEW / cw
+        return (A._resize_weight_mat(h, VIEW, sy, -y0 * sy),
+                A._resize_weight_mat(w, VIEW, sx, -x0 * sx))
+
+    f = jax.jit(jax.vmap(weights_only))
+    ms = _time(f, keys, imgs) * 1e3
+    print(json.dumps({"crop_impl": "weights_only", "ms_per_batch": round(ms, 2)}))
+
+
+def rot2_ab():
+    """flat take (production nearest) vs shear3 with the NEW conv shears vs
+    shear3 with the old vmapped dynamic slices."""
+    from cmx.ops import augment as A
+
+    yy, xx = np.mgrid[0:SIZE, 0:SIZE]
+    one = np.sin(yy / 25.0) + np.cos(xx / 19.0)
+    imgs = jnp.asarray(np.broadcast_to(one, (BATCH, SIZE, SIZE)).copy(),
+                       dtype=jnp.float32)
+    keys = jax.random.split(jax.random.key(0), BATCH)
+
+    def shear3_dus(key, img):
+        """_rotate_shear3 with the pre-conv _shear_rows (DUS) bodies."""
+        ka = jax.random.split(key, 2)[1]
+        angle = jnp.deg2rad(jax.random.uniform(ka, minval=-180.0, maxval=180.0))
+        h, w = img.shape
+        quarter = jnp.round(angle / (jnp.pi / 2)).astype(jnp.int32)
+        phi = -(angle - quarter * (jnp.pi / 2))
+        img = jax.lax.switch((-quarter) % 4,
+                             [lambda x: x, lambda x: jnp.rot90(x, 1),
+                              lambda x: jnp.rot90(x, 2), lambda x: jnp.rot90(x, 3)],
+                             img)
+        a, b = -jnp.tan(phi / 2.0), jnp.sin(phi)
+        sx = jnp.round(a * (jnp.arange(h) - (h - 1) / 2.0)).astype(jnp.int32)
+        sy = jnp.round(b * (jnp.arange(w) - (w - 1) / 2.0)).astype(jnp.int32)
+        img = A._shear_rows(img, sx)
+        img = A._shear_rows(img.T, sy).T
+        img = A._shear_rows(img, sx)
+        return img.astype(jnp.float32)
+
+    fns = {
+        "flat_nearest": lambda k, im: A.random_rotation(
+            k, im, 180.0, p=1.0, method="nearest"),
+        "shear3_conv": lambda k, im: A.random_rotation(
+            k, im, 180.0, p=1.0, method="shear3"),
+        "shear3_dus": shear3_dus,
+    }
+    ref = jax.jit(jax.vmap(fns["flat_nearest"]))(keys, imgs)
+    conv = jax.jit(jax.vmap(fns["shear3_conv"]))(keys, imgs)
+    dus = jax.jit(jax.vmap(fns["shear3_dus"]))(keys, imgs)
+    print(json.dumps({"conv_vs_dus_bitmatch":
+                      bool(jnp.array_equal(conv, dus))}))
+    for name, fn in fns.items():
+        f = jax.jit(jax.vmap(fn))
+        ms = _time(f, keys, imgs) * 1e3
+        out = f(keys, imgs)
+        mismatch = float(jnp.mean(jnp.abs(out - ref) > 1e-6))
+        print(json.dumps({"rot": name, "ms_per_batch": round(ms, 2),
+                          "pixel_mismatch_vs_flat": round(mismatch, 4)}))
+
+
+def view2_ab():
+    """Full moco_view_aug (x2 views, like the train step) under formulation
+    combos; projected step time = 131.8 ms model + measured aug."""
+    from cmx.ops import augment as A
+
+    imgs = _batch()
+    key = jax.random.key(0)
+    combos = {
+        "baseline(nearest,scale_translate)": ("nearest", "scale_translate"),
+        "einsum_crop(nearest,einsum)": ("nearest", "einsum"),
+        "einsum_bf16(nearest,einsum_bf16)": ("nearest", "einsum_bf16"),
+        "shear3(shear3,einsum)": ("shear3", "einsum"),
+    }
+    for name, (rot, ci) in combos.items():
+        def two_views(k, b, rot=rot, ci=ci):
+            kq, kk = jax.random.split(k)
+            vq = A.vmap_aug(A.moco_view_aug, kq, b, VIEW, rot, None, ci)
+            vk = A.vmap_aug(A.moco_view_aug, kk, b, VIEW, rot, None, ci)
+            return vq, vk
+
+        f = jax.jit(two_views)
+        ms = _time(f, key, imgs) * 1e3
+        proj = 131.8 + ms
+        print(json.dumps({"views": name, "ms_per_batch": round(ms, 2),
+                          "projected_step_ms": round(proj, 1),
+                          "projected_img_s": round(BATCH / proj * 1e3, 1)}))
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("cmd", choices=["breakdown", "rot", "crop"])
+    ap.add_argument("cmd", choices=["breakdown", "rot", "crop",
+                                    "crop2", "rot2", "view2"])
     args = ap.parse_args()
     print(f"# devices: {jax.devices()}")
     if args.cmd == "breakdown":
         breakdown()
     elif args.cmd == "crop":
         crop_ab()
+    elif args.cmd == "crop2":
+        crop2_ab()
+    elif args.cmd == "rot2":
+        rot2_ab()
+    elif args.cmd == "view2":
+        view2_ab()
     else:
         rot_ab()
 
