@@ -287,18 +287,73 @@ def rot2_ab():
         img = A._shear_rows(img, sx)
         return img.astype(jnp.float32)
 
+    def _shear_rows_unroll(img, shifts, m):
+        """out[i,j] = img[i, j+shifts[i]] as sum_d onehot(d)*pad[:, d:d+w]:
+        2m+1 STATIC slices + masked adds (no conv, no gather)."""
+        h, w = img.shape
+        pad = jnp.pad(img, ((0, 0), (m, m)))
+        onehot = (shifts[:, None] + m
+                  == jnp.arange(2 * m + 1)[None, :]).astype(img.dtype)
+        out = jnp.zeros_like(img)
+        for d in range(2 * m + 1):
+            out = out + onehot[:, d:d + 1] * jax.lax.slice_in_dim(pad, d, d + w, axis=1)
+        return out
+
+    def shear3_unroll(key, img):
+        ka = jax.random.split(key, 2)[1]
+        angle = jnp.deg2rad(jax.random.uniform(ka, minval=-180.0, maxval=180.0))
+        h, w = img.shape
+        quarter = jnp.round(angle / (jnp.pi / 2)).astype(jnp.int32)
+        phi = -(angle - quarter * (jnp.pi / 2))
+        img = jax.lax.switch((-quarter) % 4,
+                             [lambda x: x, lambda x: jnp.rot90(x, 1),
+                              lambda x: jnp.rot90(x, 2), lambda x: jnp.rot90(x, 3)],
+                             img)
+        a, b = -jnp.tan(phi / 2.0), jnp.sin(phi)
+        sx = jnp.round(a * (jnp.arange(h) - (h - 1) / 2.0)).astype(jnp.int32)
+        sy = jnp.round(b * (jnp.arange(w) - (w - 1) / 2.0)).astype(jnp.int32)
+        import math as _m
+        mx = int(_m.tan(_m.pi / 8) * (h - 1) / 2 + 0.5) + 1
+        my = int(_m.sin(_m.pi / 4) * (w - 1) / 2 + 0.5) + 1
+        img = _shear_rows_unroll(img, sx, mx)
+        img = _shear_rows_unroll(img.T, sy, my).T
+        img = _shear_rows_unroll(img, sx, mx)
+        return img.astype(jnp.float32)
+
+    def flat_global(keys, imgs):
+        """Exact nearest rotation, ONE take over the flattened batch."""
+        b, h, w = imgs.shape
+        kas = jax.vmap(lambda k: jax.random.split(k, 2)[1])(keys)
+        angles = jax.vmap(lambda ka: jnp.deg2rad(jax.random.uniform(
+            ka, minval=-180.0, maxval=180.0)))(kas)
+        cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+        yy, xx = jnp.mgrid[0:h, 0:w]
+        c = jnp.cos(angles)[:, None, None]
+        s = jnp.sin(angles)[:, None, None]
+        src_y = c * (yy - cy)[None] - s * (xx - cx)[None] + cy
+        src_x = s * (yy - cy)[None] + c * (xx - cx)[None] + cx
+        iy = jnp.round(src_y).astype(jnp.int32)
+        ix = jnp.round(src_x).astype(jnp.int32)
+        inside = (iy >= 0) & (iy < h) & (ix >= 0) & (ix < w)
+        base = (jnp.arange(b, dtype=jnp.int32) * (h * w))[:, None, None]
+        idx = base + jnp.clip(iy, 0, h - 1) * w + jnp.clip(ix, 0, w - 1)
+        out = jnp.take(imgs.reshape(-1), idx.reshape(-1)).reshape(b, h, w)
+        return jnp.where(inside, out, 0.0).astype(jnp.float32)
+
     fns = {
         "flat_nearest": lambda k, im: A.random_rotation(
             k, im, 180.0, p=1.0, method="nearest"),
         "shear3_conv": lambda k, im: A.random_rotation(
             k, im, 180.0, p=1.0, method="shear3"),
         "shear3_dus": shear3_dus,
+        "shear3_unroll": shear3_unroll,
     }
     ref = jax.jit(jax.vmap(fns["flat_nearest"]))(keys, imgs)
     conv = jax.jit(jax.vmap(fns["shear3_conv"]))(keys, imgs)
     dus = jax.jit(jax.vmap(fns["shear3_dus"]))(keys, imgs)
-    print(json.dumps({"conv_vs_dus_bitmatch":
-                      bool(jnp.array_equal(conv, dus))}))
+    unr = jax.jit(jax.vmap(fns["shear3_unroll"]))(keys, imgs)
+    print(json.dumps({"conv_vs_dus_bitmatch": bool(jnp.array_equal(conv, dus)),
+                      "unroll_vs_dus_bitmatch": bool(jnp.array_equal(unr, dus))}))
     for name, fn in fns.items():
         f = jax.jit(jax.vmap(fn))
         ms = _time(f, keys, imgs) * 1e3
@@ -306,6 +361,13 @@ def rot2_ab():
         mismatch = float(jnp.mean(jnp.abs(out - ref) > 1e-6))
         print(json.dumps({"rot": name, "ms_per_batch": round(ms, 2),
                           "pixel_mismatch_vs_flat": round(mismatch, 4)}))
+    # whole-batch single-take variant of the production nearest path
+    fg = jax.jit(flat_global)
+    ms = _time(fg, keys, imgs) * 1e3
+    out = fg(keys, imgs)
+    mismatch = float(jnp.mean(jnp.abs(out - ref) > 1e-6))
+    print(json.dumps({"rot": "flat_global", "ms_per_batch": round(ms, 2),
+                      "pixel_mismatch_vs_flat": round(mismatch, 4)}))
 
 
 def view2_ab():
