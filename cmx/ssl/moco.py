@@ -35,7 +35,7 @@ import jax.numpy as jnp
 import optax
 
 from cmx.models.unet import UNetEncoderGAP
-from cmx.ops.augment import moco_view_aug, vmap_aug
+from cmx.ops.augment import moco_view_aug_batch
 from cmx.train.state import TrainState, ema_update
 from cmx.train.trainer import Task, TaskAux
 
@@ -75,10 +75,12 @@ def make_moco_task(
         imgs = batch  # (B, H, W) raw 256-cached images
         if augment:
             kq, kk = jax.random.split(rng)
-            img_q = vmap_aug(moco_view_aug, kq, imgs, view_size,
-                             rotation_method, crop_method, crop_impl)
-            img_k = vmap_aug(moco_view_aug, kk, imgs, view_size,
-                             rotation_method, crop_method, crop_impl)
+            img_q = moco_view_aug_batch(kq, imgs, view_size,
+                                        rotation_method, crop_method,
+                                        crop_impl)
+            img_k = moco_view_aug_batch(kk, imgs, view_size,
+                                        rotation_method, crop_method,
+                                        crop_impl)
         else:
             img_q, img_k = imgs, imgs
 
@@ -176,10 +178,12 @@ def make_moco_validate(
     def validate(state, val_queue, imgs, key):
         if augment:
             kq, kk = jax.random.split(key)
-            img_q = vmap_aug(moco_view_aug, kq, imgs, view_size,
-                             rotation_method, crop_method, crop_impl)
-            img_k = vmap_aug(moco_view_aug, kk, imgs, view_size,
-                             rotation_method, crop_method, crop_impl)
+            img_q = moco_view_aug_batch(kq, imgs, view_size,
+                                        rotation_method, crop_method,
+                                        crop_impl)
+            img_k = moco_view_aug_batch(kk, imgs, view_size,
+                                        rotation_method, crop_method,
+                                        crop_impl)
         else:
             img_q = img_k = imgs
         variables = {"params": state.params, "batch_stats": state.batch_stats}

@@ -139,6 +139,35 @@ def test_pipelines_jit_and_shapes(rng):
     assert v1.shape == (4, 32, 32) and v2.shape == (4, 32, 32)
 
 
+def test_moco_view_aug_batch_bitwise(rng):
+    """moco_view_aug_batch (whole-batch single-take rotation) is
+    bit-identical to the vmapped per-image pipeline for the production
+    "nearest" path AND for the shear3 fallback — the trained function is
+    unchanged by the hoisted-rotation optimization."""
+    imgs = jnp.asarray(rng.normal(size=(6, 64, 64)).astype(np.float32))
+    for method in (None, "nearest", "shear3"):
+        ref = jax.jit(lambda k, b: augment.vmap_aug(
+            augment.moco_view_aug, k, b, 32, method))(KEY, imgs)
+        fast = jax.jit(lambda k, b: augment.moco_view_aug_batch(
+            k, b, 32, method))(KEY, imgs)
+        assert jnp.array_equal(ref, fast), method
+
+
+def test_batch_rotate_nearest_bitwise(rng):
+    """batch_rotate_nearest == vmap(random_rotation) bitwise, incl. the
+    p-gating (some images pass through un-rotated)."""
+    imgs = jnp.asarray(rng.normal(size=(8, 48, 48)).astype(np.float32))
+    keys = jax.random.split(KEY, 8)
+    ref = jax.jit(jax.vmap(
+        lambda k, im: augment.random_rotation(k, im, 170.0, p=0.5)))(keys, imgs)
+    fast = jax.jit(lambda k, b: augment.batch_rotate_nearest(
+        k, b, 170.0, p=0.5))(keys, imgs)
+    assert jnp.array_equal(ref, fast)
+    # the p-gate actually bites: at least one image unchanged, one rotated
+    same = jnp.all(ref == imgs, axis=(1, 2))
+    assert bool(jnp.any(same)) and bool(jnp.any(~same))
+
+
 def test_moco_crop_method_knob(rng):
     """task.crop_method threads through: default == explicit "linear"
     (torchvision RandomResizedCrop default BILINEAR,
