@@ -202,6 +202,34 @@ def _shear_rows(img: jnp.ndarray, shifts: jnp.ndarray) -> jnp.ndarray:
     return jax.vmap(row)(pad, shifts)
 
 
+def _shear_rows_unroll(
+    img: jnp.ndarray, shifts: jnp.ndarray, max_shift: int
+) -> jnp.ndarray:
+    """_shear_rows with a static shift bound, as 2m+1 STATIC slices +
+    one-hot masked adds (no conv, no gather, no dynamic slice).
+
+    out[i, j] = img[i, j + shifts[i]] (zero fill, |shifts| <= max_shift)
+    = sum_d onehot[i, d] * pad[i, j + d]. Every term is a VPU elementwise
+    multiply by an exact 0/1 mask and at most ONE product per output is
+    non-zero, so the sum is bit-exact fp32 on TPU — unlike the depthwise
+    conv formulation (_shear_rows_conv), whose MXU lowering rounds the
+    pixel VALUES to bf16 even under Precision.HIGHEST (rot2 re-measure,
+    artifacts/r2/moco_aug3_rot2.log: conv mismatch 0.8774 unchanged
+    post-fix; unroll_vs_dus_bitmatch=true at 81.3 vs 288.9 ms per
+    128x256² shear stack). Production shear3 path."""
+    h, w = img.shape
+    m = int(max_shift)
+    pad = jnp.pad(img, ((0, 0), (m, m)))  # pad[i, k] = img[i, k - m]
+    onehot = (shifts[:, None] + m
+              == jnp.arange(2 * m + 1, dtype=shifts.dtype)[None, :]
+              ).astype(img.dtype)
+    out = jnp.zeros_like(img)
+    for d in range(2 * m + 1):
+        out = out + onehot[:, d:d + 1] * jax.lax.slice_in_dim(
+            pad, d, d + w, axis=1)
+    return out
+
+
 def _shear_rows_conv(
     img: jnp.ndarray, shifts: jnp.ndarray, max_shift: int
 ) -> jnp.ndarray:
@@ -226,10 +254,13 @@ def _shear_rows_conv(
     out = jax.lax.conv_general_dilated(
         lhs, rhs, window_strides=(1,), padding="VALID",
         dimension_numbers=("NWC", "WIO", "NWC"), feature_group_count=h,
-        # TPU convs default to bf16 operands: the one-hot selection then
-        # returns bf16-rounded pixel VALUES (rot2 A/B measured 88% of
-        # pixels off vs the exact take, conv_vs_dus_bitmatch=false on
-        # TPU while CPU is bit-exact). HIGHEST keeps fp32 values.
+        # TPU convs round operands to bf16, so the one-hot selection
+        # returns bf16-rounded pixel VALUES (rot2 A/B: 88% of pixels off
+        # vs the exact take; CPU is bit-exact). Precision.HIGHEST does
+        # NOT rescue it on this backend — the re-measure with this flag
+        # (artifacts/r2/moco_aug3_rot2.log) shows mismatch 0.8774
+        # UNCHANGED. Kept for the A/B record; production shear3 uses
+        # _shear_rows_unroll (bit-exact, 81 vs 66 ms).
         precision=jax.lax.Precision.HIGHEST)
     return out[0].T
 
@@ -266,9 +297,9 @@ def _rotate_shear3(img: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
     # phi in [-pi/4, pi/4]; +1 covers the 0.5 rounding headroom.
     mx = int(math.tan(math.pi / 8) * (h - 1) / 2 + 0.5) + 1
     my = int(math.sin(math.pi / 4) * (w - 1) / 2 + 0.5) + 1
-    img = _shear_rows_conv(img, sx, mx)
-    img = _shear_rows_conv(img.T, sy, my).T
-    img = _shear_rows_conv(img, sx, mx)
+    img = _shear_rows_unroll(img, sx, mx)
+    img = _shear_rows_unroll(img.T, sy, my).T
+    img = _shear_rows_unroll(img, sx, mx)
     return img.astype(jnp.float32)
 
 

@@ -223,6 +223,21 @@ def test_shear_rows_conv_matches_dynamic_slice(rng):
     np.testing.assert_array_equal(np.asarray(out2), np.asarray(ref2))
 
 
+def test_shear_rows_unroll_matches_dynamic_slice(rng):
+    """_shear_rows_unroll (static slices + one-hot masked adds — the
+    production shear3 body: unlike the conv it stays bit-exact fp32 on TPU,
+    artifacts/r2/moco_aug3_rot2.log) must be bit-identical to _shear_rows
+    for any |shift| <= max_shift, including the zero-fill at the borders."""
+    img = _img(rng, 32, 32)
+    shifts = jnp.asarray(rng.integers(-9, 10, size=32), jnp.int32)
+    ref = augment._shear_rows(img, shifts)
+    out = augment._shear_rows_unroll(img, shifts, 9)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    out2 = augment._shear_rows_unroll(img, jnp.full((32,), -9, jnp.int32), 9)
+    ref2 = augment._shear_rows(img, jnp.full((32,), -9, jnp.int32))
+    np.testing.assert_array_equal(np.asarray(out2), np.asarray(ref2))
+
+
 def test_moco_crop_impl_knob(rng):
     """task.crop_impl threads through moco_view_aug: einsum == default
     scale_translate to fp round-off; the whole chain stays finite."""

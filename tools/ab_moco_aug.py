@@ -258,8 +258,11 @@ def crop2_ab():
 
 
 def rot2_ab():
-    """flat take (production nearest) vs shear3 with the NEW conv shears vs
-    shear3 with the old vmapped dynamic slices."""
+    """flat take (production nearest) vs shear3 under conv / dynamic-slice /
+    unrolled-shift shears. Production method="shear3" now runs the unrolled
+    shears (bit-exact; the conv rounds values to bf16 on TPU even at
+    Precision.HIGHEST — see artifacts/r2/moco_aug3_rot2.log), so the conv
+    row here wraps A._shear_rows_conv directly to keep measuring it."""
     from cmx.ops import augment as A
 
     yy, xx = np.mgrid[0:SIZE, 0:SIZE]
@@ -287,19 +290,8 @@ def rot2_ab():
         img = A._shear_rows(img, sx)
         return img.astype(jnp.float32)
 
-    def _shear_rows_unroll(img, shifts, m):
-        """out[i,j] = img[i, j+shifts[i]] as sum_d onehot(d)*pad[:, d:d+w]:
-        2m+1 STATIC slices + masked adds (no conv, no gather)."""
-        h, w = img.shape
-        pad = jnp.pad(img, ((0, 0), (m, m)))
-        onehot = (shifts[:, None] + m
-                  == jnp.arange(2 * m + 1)[None, :]).astype(img.dtype)
-        out = jnp.zeros_like(img)
-        for d in range(2 * m + 1):
-            out = out + onehot[:, d:d + 1] * jax.lax.slice_in_dim(pad, d, d + w, axis=1)
-        return out
-
-    def shear3_unroll(key, img):
+    def shear3_conv(key, img):
+        """_rotate_shear3 with the (rejected) depthwise-conv shear bodies."""
         ka = jax.random.split(key, 2)[1]
         angle = jnp.deg2rad(jax.random.uniform(ka, minval=-180.0, maxval=180.0))
         h, w = img.shape
@@ -315,9 +307,9 @@ def rot2_ab():
         import math as _m
         mx = int(_m.tan(_m.pi / 8) * (h - 1) / 2 + 0.5) + 1
         my = int(_m.sin(_m.pi / 4) * (w - 1) / 2 + 0.5) + 1
-        img = _shear_rows_unroll(img, sx, mx)
-        img = _shear_rows_unroll(img.T, sy, my).T
-        img = _shear_rows_unroll(img, sx, mx)
+        img = A._shear_rows_conv(img, sx, mx)
+        img = A._shear_rows_conv(img.T, sy, my).T
+        img = A._shear_rows_conv(img, sx, mx)
         return img.astype(jnp.float32)
 
     def flat_global(keys, imgs):
@@ -343,10 +335,10 @@ def rot2_ab():
     fns = {
         "flat_nearest": lambda k, im: A.random_rotation(
             k, im, 180.0, p=1.0, method="nearest"),
-        "shear3_conv": lambda k, im: A.random_rotation(
-            k, im, 180.0, p=1.0, method="shear3"),
+        "shear3_conv": shear3_conv,
         "shear3_dus": shear3_dus,
-        "shear3_unroll": shear3_unroll,
+        "shear3_unroll": lambda k, im: A.random_rotation(
+            k, im, 180.0, p=1.0, method="shear3"),
     }
     ref = jax.jit(jax.vmap(fns["flat_nearest"]))(keys, imgs)
     conv = jax.jit(jax.vmap(fns["shear3_conv"]))(keys, imgs)
