@@ -80,8 +80,44 @@ def _resize_weight_mat(
 # "einsum" applies the SAME weight matrices (_resize_weight_mat) as two
 # explicit fp32 dots — mathematically the identical linear map, fp
 # round-off differences only; "einsum_bf16" casts image and weights to
-# bf16 with fp32 accumulation (documented numeric deviation, opt-in).
+# bf16 with fp32 accumulation (documented numeric deviation, opt-in);
+# "pallas" fuses weight construction + both dots into one VMEM-resident
+# kernel per image (cmx/ops/pallas_crop.py) — same linear map, fp32
+# round-off differences only, built because the weight-matrix CONSTRUCTION
+# is the measured cost floor of the XLA formulations (RESULTS "crop2").
 CROP_IMPL = "scale_translate"
+
+
+def _crop_window_params(
+    key: jax.Array,
+    h: int,
+    w: int,
+    out_size: int,
+    scale: Tuple[float, float],
+    ratio: Tuple[float, float],
+):
+    """torchvision RandomResizedCrop window draw -> scale_and_translate args.
+
+    Returns (sy, ty, sx, tx): per-axis scale and translation mapping the
+    sampled crop window [y0, y0+ch) x [x0, x0+cw) onto (out, out). Factored
+    so every `random_resized_crop` impl (and the batch-hoisted pallas path
+    in `moco_view_aug_batch`) consumes the identical RNG stream and window
+    math."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    area = h * w * jax.random.uniform(k1, minval=scale[0], maxval=scale[1])
+    log_r = jax.random.uniform(
+        k2, minval=jnp.log(ratio[0]), maxval=jnp.log(ratio[1])
+    )
+    aspect = jnp.exp(log_r)
+    cw = jnp.sqrt(area * aspect)
+    ch = jnp.sqrt(area / aspect)
+    cw = jnp.clip(cw, 1.0, w)
+    ch = jnp.clip(ch, 1.0, h)
+    y0 = jax.random.uniform(k3, minval=0.0, maxval=1.0) * (h - ch)
+    x0 = jax.random.uniform(k4, minval=0.0, maxval=1.0) * (w - cw)
+    sy = out_size / ch
+    sx = out_size / cw
+    return sy, -y0 * sy, sx, -x0 * sx
 
 
 def random_resized_crop(
@@ -108,25 +144,19 @@ def random_resized_crop(
     (configs/cmunet_config.py:49).
     """
     h, w = img.shape[0], img.shape[1]
-    k1, k2, k3, k4 = jax.random.split(key, 4)
-    area = h * w * jax.random.uniform(k1, minval=scale[0], maxval=scale[1])
-    log_r = jax.random.uniform(
-        k2, minval=jnp.log(ratio[0]), maxval=jnp.log(ratio[1])
-    )
-    aspect = jnp.exp(log_r)
-    cw = jnp.sqrt(area * aspect)
-    ch = jnp.sqrt(area / aspect)
-    cw = jnp.clip(cw, 1.0, w)
-    ch = jnp.clip(ch, 1.0, h)
-    y0 = jax.random.uniform(k3, minval=0.0, maxval=1.0) * (h - ch)
-    x0 = jax.random.uniform(k4, minval=0.0, maxval=1.0) * (w - cw)
-    # Map crop window [y0, y0+ch) x [x0, x0+cw) onto (out, out):
-    sy = out_size / ch
-    sx = out_size / cw
+    sy, ty, sx, tx = _crop_window_params(key, h, w, out_size, scale, ratio)
     impl = impl or CROP_IMPL
+    if impl == "pallas":
+        from cmx.ops.pallas_crop import crop_resize_pallas
+
+        assert img.ndim == 2, "pallas crop impl supports (H, W) images"
+        params = jnp.stack([sy, ty, sx, tx]).astype(jnp.float32)[None]
+        return crop_resize_pallas(
+            img[None].astype(jnp.float32), params, out_size, method=method
+        )[0]
     if impl in ("einsum", "einsum_bf16"):
-        wy = _resize_weight_mat(h, out_size, sy, -y0 * sy, method)  # (h, out)
-        wx = _resize_weight_mat(w, out_size, sx, -x0 * sx, method)  # (w, out)
+        wy = _resize_weight_mat(h, out_size, sy, ty, method)  # (h, out)
+        wx = _resize_weight_mat(w, out_size, sx, tx, method)  # (w, out)
         img3 = (img[..., None] if img.ndim == 2 else img).astype(jnp.float32)
         if impl == "einsum_bf16":
             # bf16 operands at default (fastest) precision; the MXU
@@ -147,7 +177,7 @@ def random_resized_crop(
             (out_size, out_size, img3.shape[-1]),
             (0, 1),
             jnp.stack([sy, sx]),
-            jnp.stack([-y0 * sy, -x0 * sx]),
+            jnp.stack([ty, tx]),
             method=method,
             antialias=True,
         )
@@ -650,6 +680,11 @@ def _moco_view_tail(ks, img, out_size, crop_method, crop_impl):
     img = random_resized_crop(ks[1], img, out_size, scale=(0.2, 1.0),
                               method=crop_method or CROP_METHOD,
                               impl=crop_impl or CROP_IMPL)
+    return _moco_view_post_crop(ks, img)
+
+
+def _moco_view_post_crop(ks, img):
+    """moco_view_aug after the crop: blur -> flips -> noise."""
     img = gaussian_blur(ks[2], img, sigma_range=(0.1, 2.0), radius=3, p=0.5)
     img = random_hflip(ks[3], img)
     img = random_vflip(ks[4], img)
@@ -676,6 +711,19 @@ def moco_view_aug_batch(
     keys = jax.random.split(key, batch.shape[0])
     ks = jax.vmap(lambda k: jax.random.split(k, 6))(keys)     # (B, 6) keys
     rot = batch_rotate_nearest(ks[:, 0], batch, 180.0, p=0.5)
+    if (crop_impl or CROP_IMPL) == "pallas":
+        # Hoist the crop out of the vmap too: ONE fused kernel over the
+        # batch (grid=B) instead of B vmapped crops. Same per-image key
+        # tree (ks[:, 1]) and window math (_crop_window_params), so the
+        # sampled windows are bit-identical to the per-sample path.
+        from cmx.ops.pallas_crop import crop_resize_pallas
+
+        b, h, w = rot.shape
+        params = jax.vmap(lambda k: jnp.stack(_crop_window_params(
+            k, h, w, out_size, (0.2, 1.0), (3 / 4, 4 / 3))))(ks[:, 1])
+        cropped = crop_resize_pallas(
+            rot, params, out_size, method=crop_method or CROP_METHOD)
+        return jax.vmap(_moco_view_post_crop)(ks, cropped)
     return jax.vmap(lambda k6, im: _moco_view_tail(
         k6, im, out_size, crop_method, crop_impl))(ks, rot)
 

@@ -390,10 +390,79 @@ def view2_ab():
                           "projected_img_s": round(BATCH / proj * 1e3, 1)}))
 
 
+def crop3_ab():
+    """Fused Pallas crop kernel vs the XLA formulations: same RNG stream /
+    windows (shared _crop_window_params), ms + max|diff| vs scale_translate.
+    The pallas row batches via ONE kernel (grid=B), matching how
+    moco_view_aug_batch wires it in production."""
+    from cmx.ops import augment as A
+    from cmx.ops.pallas_crop import crop_resize_pallas
+
+    yy, xx = np.mgrid[0:SIZE, 0:SIZE]
+    one = np.sin(yy / 25.0) + np.cos(xx / 19.0)
+    imgs = jnp.asarray(np.broadcast_to(one, (BATCH, SIZE, SIZE)).copy(),
+                       dtype=jnp.float32)
+    keys = jax.random.split(jax.random.key(0), BATCH)
+
+    def run(impl):
+        return jax.jit(jax.vmap(lambda k, im: A.random_resized_crop(
+            k, im, VIEW, scale=(0.2, 1.0), method="linear", impl=impl)))
+
+    @jax.jit
+    def run_pallas_batch(keys, imgs):
+        params = jax.vmap(lambda k: jnp.stack(A._crop_window_params(
+            k, SIZE, SIZE, VIEW, (0.2, 1.0), (3 / 4, 4 / 3))))(keys)
+        return crop_resize_pallas(imgs, params, VIEW, method="linear")
+
+    ref = run("scale_translate")(keys, imgs)
+    for impl in ("scale_translate", "einsum"):
+        f = run(impl)
+        ms = _time(f, keys, imgs) * 1e3
+        out = f(keys, imgs)
+        diff = float(jnp.max(jnp.abs(out - ref)))
+        print(json.dumps({"crop_impl": impl, "ms_per_batch": round(ms, 2),
+                          "max_abs_diff_vs_scale_translate": round(diff, 6)}))
+    ms = _time(run_pallas_batch, keys, imgs) * 1e3
+    out = run_pallas_batch(keys, imgs)
+    diff = float(jnp.max(jnp.abs(out - ref)))
+    print(json.dumps({"crop_impl": "pallas_batch", "ms_per_batch": round(ms, 2),
+                      "max_abs_diff_vs_scale_translate": round(diff, 6)}))
+
+
+def view3_ab():
+    """PRODUCTION view pipeline (moco_view_aug_batch: whole-batch rotation)
+    x2 views with the crop impl switched — the in-context A/B of the fused
+    Pallas crop. projected step = 131.8 ms model + measured aug."""
+    from cmx.ops import augment as A
+
+    imgs = _batch()
+    key = jax.random.key(0)
+
+    def two_views(k, b, ci):
+        kq, kk = jax.random.split(k)
+        vq = A.moco_view_aug_batch(kq, b, VIEW, crop_impl=ci)
+        vk = A.moco_view_aug_batch(kk, b, VIEW, crop_impl=ci)
+        return vq, vk
+
+    ref = jax.jit(partial(two_views, ci="scale_translate"))(key, imgs)
+    for ci in ("scale_translate", "einsum", "pallas"):
+        f = jax.jit(partial(two_views, ci=ci))
+        ms = _time(f, key, imgs) * 1e3
+        vq, vk = f(key, imgs)
+        diff = float(jnp.maximum(jnp.max(jnp.abs(vq - ref[0])),
+                                 jnp.max(jnp.abs(vk - ref[1]))))
+        proj = 131.8 + ms
+        print(json.dumps({"views": ci, "ms_per_batch": round(ms, 2),
+                          "max_abs_diff_vs_scale_translate": round(diff, 6),
+                          "projected_step_ms": round(proj, 1),
+                          "projected_img_s": round(BATCH / proj * 1e3, 1)}))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("cmd", choices=["breakdown", "rot", "crop",
-                                    "crop2", "rot2", "view2"])
+                                    "crop2", "rot2", "view2",
+                                    "crop3", "view3"])
     args = ap.parse_args()
     print(f"# devices: {jax.devices()}")
     if args.cmd == "breakdown":
@@ -406,6 +475,10 @@ def main():
         rot2_ab()
     elif args.cmd == "view2":
         view2_ab()
+    elif args.cmd == "crop3":
+        crop3_ab()
+    elif args.cmd == "view3":
+        view3_ab()
     else:
         rot_ab()
 
