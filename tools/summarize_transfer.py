@@ -191,6 +191,34 @@ def seed_column(seed1_dir="artifacts/r2/seed1_ft01",
               f"{rank(c).index('scratch') + 1}/{len(tags)}")
 
 
+def shear3_equivalence():
+    """Print the shear3 rotation transfer-equivalence comparison (session-6
+    item C): a MoCo pretrain whose view rotation uses the gather-free
+    rot90+three-shear decomposition (task.rotation_method=shear3, exact
+    unrolled-shift shears — per-pixel index-rounding deviation only) vs the
+    default exact whole-batch-take rotation, both fine-tuned at the
+    79/1-analog. Comparators: the crop-fix recapture (moco_linear — same
+    crop_method=linear protocol as the shear3 run) and the original cubic
+    matrix cell."""
+    cells = {}
+    for tag, path in (
+        ("moco (matrix cell, cubic crop)", "artifacts/r2/ft01/test_moco.json"),
+        ("moco linear-crop recapture", "artifacts/r2/moco_linear/test_moco_linear.json"),
+        ("moco shear3 rotation", "artifacts/r2/moco_shear3/test_moco_shear3.json"),
+        ("scratch", "artifacts/r2/ft01/test_None.json"),
+    ):
+        if os.path.exists(path):
+            with open(path) as f:
+                cells[tag] = json.load(f)["dice"]
+    if "moco shear3 rotation" not in cells:
+        return
+    print("\n## shear3 rotation transfer equivalence (79/1-analog)")
+    print("| run | test Dice |")
+    print("|---|---|")
+    for tag, v in cells.items():
+        print(f"| {tag} | {v:.4f} |")
+
+
 def main():
     args = sys.argv[1:] or ["runs/transfer_r2", "runs/mae_r4"]
     for arg in args:
@@ -201,6 +229,7 @@ def main():
         seed_column()
         seed_column("artifacts/r2/seed1_ft30", "artifacts/r2/ft30",
                     label="50/30-analog")
+        shear3_equivalence()
 
 
 if __name__ == "__main__":
