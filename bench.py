@@ -18,7 +18,20 @@ formula are fixed here so round-over-round comparisons are apples-to-apples.
 
 import argparse
 import json
+import os
+import sys
 import time
+
+try:
+    import jax
+except ModuleNotFoundError:  # interpreter without the ML venv (PATH resets
+    # have dropped /opt/venv/bin mid-round): re-exec under the venv python.
+    _VENV = "/opt/venv/bin/python"
+    if os.path.exists(_VENV) and sys.prefix != "/opt/venv":
+        _pp = os.environ.get("PYTHONPATH", "")
+        os.environ["PYTHONPATH"] = "/root/repo:/root/.axon_site" + (":" + _pp if _pp else "")
+        os.execv(_VENV, [_VENV, os.path.abspath(__file__)] + sys.argv[1:])
+    raise
 
 import jax
 import jax.numpy as jnp
