@@ -25,15 +25,17 @@ import time
 try:
     import jax
 except ModuleNotFoundError:  # interpreter without the ML venv (PATH resets
-    # have dropped /opt/venv/bin mid-round): re-exec under the venv python.
+    # have dropped /opt/venv/bin mid-round): re-exec under the venv python —
+    # but only when run as a script; an importing process must never be
+    # silently replaced by a benchmark run (same guard as __graft_entry__.py).
     _VENV = "/opt/venv/bin/python"
-    if os.path.exists(_VENV) and sys.prefix != "/opt/venv":
+    if (__name__ == "__main__" and os.path.exists(_VENV)
+            and sys.prefix != "/opt/venv"):
         _pp = os.environ.get("PYTHONPATH", "")
         os.environ["PYTHONPATH"] = "/root/repo:/root/.axon_site" + (":" + _pp if _pp else "")
         os.execv(_VENV, [_VENV, os.path.abspath(__file__)] + sys.argv[1:])
     raise
 
-import jax
 import jax.numpy as jnp
 import numpy as np
 

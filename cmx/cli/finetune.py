@@ -33,24 +33,28 @@ def main(argv: Optional[list] = None) -> None:
     p.add_argument("--epochs", type=int, nargs="*", default=[128])
     p.add_argument("--batches", type=int, nargs="*", default=[32])
     p.add_argument("--out", default="results")
+    p.add_argument("--corpus-seed", type=int, default=None,
+                   help="corpus-seed axis: sugar for data.corpus_seed=N "
+                        "(resolves data_dir -> data_dir_sN, seeds synthetic "
+                        "generation)")
     p.add_argument("overrides", nargs="*")
     args = p.parse_args(argv)
 
     cfg = Config()
     apply_overrides(cfg, args.overrides)
+    if args.corpus_seed is not None:
+        cfg.data.corpus_seed = args.corpus_seed
     print(display(cfg))
     seed_everything(cfg.train.seed)
 
     from cmx.data.corpus import load_corpus
     from cmx.data.splits import list_corpus, make_splits
-    from cmx.data.synthetic import write_corpus
+    from cmx.data.synthetic import resolve_corpus
     from cmx.models.unet import UNet
     from cmx.train.harness import evaluate, fit, grid_search
     from cmx.train.supervised import make_eval_fn
 
-    if cfg.data.synthetic or not os.path.isdir(os.path.join(cfg.data.data_dir, "imgs")):
-        write_corpus(cfg.data.data_dir, n=cfg.data.synthetic_n, size=cfg.data.image_size)
-    xs, ys = list_corpus(cfg.data.data_dir)
+    xs, ys = list_corpus(resolve_corpus(cfg.data))
     splits = make_splits(xs, ys, ratio=cfg.data.ratio)
     ft_imgs, ft_masks = load_corpus(splits.finetune_x, splits.finetune_y,
                                     size=cfg.data.image_size)

@@ -158,13 +158,10 @@ def make_device_feed(imgs, mesh, task=None, tx=None, scan=True):
 def load_pretrain_images(cfg: Config) -> np.ndarray:
     from cmx.data.corpus import load_corpus
     from cmx.data.splits import list_corpus, make_splits
-    from cmx.data.synthetic import write_corpus
+    from cmx.data.synthetic import resolve_corpus
 
-    if cfg.data.synthetic or not os.path.isdir(os.path.join(cfg.data.data_dir, "imgs")):
-        os.makedirs(cfg.data.data_dir, exist_ok=True)
-        if not os.path.isdir(os.path.join(cfg.data.data_dir, "imgs")):
-            write_corpus(cfg.data.data_dir, n=cfg.data.synthetic_n, size=cfg.data.image_size)
-    xs, ys = list_corpus(cfg.data.data_dir)
+    data_dir = resolve_corpus(cfg.data)
+    xs, ys = list_corpus(data_dir)
     splits = make_splits(xs, ys, ratio=cfg.data.ratio)
     imgs = None
     if cfg.data.native_loader:
@@ -194,6 +191,10 @@ def main(argv: Optional[list] = None) -> None:
     p.add_argument("--preset", action="store_true",
                    help="start from the reference recipe for --task "
                         "(cmx.config.presets) before applying overrides")
+    p.add_argument("--corpus-seed", type=int, default=None,
+                   help="corpus-seed axis: sugar for data.corpus_seed=N "
+                        "(resolves data_dir -> data_dir_sN, seeds synthetic "
+                        "generation)")
     p.add_argument("overrides", nargs="*", help="dotted config overrides a.b=c")
     args = p.parse_args(argv)
 
@@ -208,6 +209,8 @@ def main(argv: Optional[list] = None) -> None:
 
         cfg = PRESETS[cfg.task.name](cfg)
     apply_overrides(cfg, args.overrides)
+    if args.corpus_seed is not None:
+        cfg.data.corpus_seed = args.corpus_seed
     print(display(cfg))
 
     root_key = seed_everything(cfg.train.seed)

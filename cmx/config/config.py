@@ -27,6 +27,12 @@ class DataConfig:
     ratio: float = 0.1  # fine-tune fraction of full corpus (train.py --ratio)
     synthetic: bool = False  # use generated corpus when no dataset present
     synthetic_n: int = 64
+    synthetic_hard: bool = False  # transfer-experiment generator (make_sample_hard)
+    # Corpus-seed axis for robustness columns (round-2 VERDICT item 8):
+    # seed s>0 resolves data_dir -> f"{data_dir}_s{s}" (the runs/hard400_s1
+    # convention) and seeds synthetic generation with s. Replaces the
+    # bespoke write_corpus preambles of the session runner scripts.
+    corpus_seed: int = 0
     num_prefetch: int = 2
     # extra unlabeled pretraining data (the reference's --arcade option,
     # Genesis_Chest_CT.py:31-41 / Spark arg_util.py): a directory of .npy

@@ -157,6 +157,25 @@ def write_corpus(
         np.save(os.path.join(msk_dir, f"sample_{i:04d}.npy"), msk)
 
 
+def resolve_corpus(data_cfg) -> str:
+    """Resolve (and lazily generate) the corpus directory for a DataConfig.
+
+    The corpus-seed axis (round-2 VERDICT item 8): corpus_seed s>0 maps
+    data_dir -> f"{data_dir}_s{s}" — the naming convention the round-2
+    seed-replication experiments established by hand (runs/hard400_s1).
+    When the resolved directory has no imgs/ (or data_cfg.synthetic is set
+    and the dir is absent), the synthetic corpus is generated with that
+    seed. Generation is idempotent-by-absence: an existing corpus is never
+    overwritten. Returns the resolved directory path."""
+    d = data_cfg.data_dir
+    if data_cfg.corpus_seed:
+        d = f"{d}_s{data_cfg.corpus_seed}"
+    if not os.path.isdir(os.path.join(d, "imgs")):
+        write_corpus(d, n=data_cfg.synthetic_n, size=data_cfg.image_size,
+                     seed=data_cfg.corpus_seed, hard=data_cfg.synthetic_hard)
+    return d
+
+
 def make_batch(
     rng: np.random.Generator, batch: int, size: int = 256
 ) -> Tuple[np.ndarray, np.ndarray]:

@@ -1,0 +1,172 @@
+"""tools/run_queue.py: resumable artifact-keyed experiment queue.
+
+The round-2 VERDICT (item 7) asked for one parameterized runner with an
+artifact-keyed manifest replacing the per-reset session shell scripts. These
+tests pin the contract: satisfied jobs skip, pending jobs run and are checked
+against their artifacts, retries switch to retry_cmd, post steps harvest,
+and --status never executes anything."""
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+TOOL = os.path.join(REPO, "tools", "run_queue.py")
+
+
+def run_queue(manifest_path, *extra):
+    return subprocess.run(
+        [sys.executable, TOOL, str(manifest_path), *extra],
+        capture_output=True, text=True)
+
+
+def write_manifest(path, jobs):
+    with open(path, "w") as f:
+        json.dump(jobs, f)
+
+
+def test_satisfied_jobs_skip_and_pending_run(tmp_path):
+    art1 = tmp_path / "a.txt"
+    art1.write_text("done")
+    art2 = tmp_path / "b.txt"
+    marker = tmp_path / "ran_first.txt"
+    jobs = [
+        {"name": "first", "artifacts": [str(art1)],
+         "cmd": f"touch {marker}"},
+        {"name": "second", "artifacts": [str(art2)],
+         "cmd": f"echo out > {art2}"},
+    ]
+    m = tmp_path / "m.json"
+    write_manifest(m, jobs)
+    r = run_queue(m)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert not marker.exists()  # satisfied job must not run
+    assert art2.exists()
+    # second invocation: everything satisfied, nothing runs
+    r2 = run_queue(m)
+    assert r2.returncode == 0
+    assert "all jobs satisfied" in r2.stdout
+
+
+def test_missing_artifact_after_success_fails(tmp_path):
+    jobs = [{"name": "liar", "artifacts": [str(tmp_path / "never.txt")],
+             "cmd": "true", "retries": 1}]
+    m = tmp_path / "m.json"
+    write_manifest(m, jobs)
+    r = run_queue(m)
+    assert r.returncode == 1
+    assert "artifacts missing" in r.stdout
+
+
+def test_retry_uses_retry_cmd(tmp_path):
+    art = tmp_path / "out.txt"
+    count = tmp_path / "count.txt"
+    jobs = [{
+        "name": "flaky",
+        "artifacts": [str(art)],
+        # first attempt fails; retry_cmd succeeds and writes the artifact
+        "cmd": f"echo 1 >> {count}; false",
+        "retry_cmd": f"echo retry >> {count}; echo ok > {art}",
+        "retries": 3,
+        "log": str(tmp_path / "flaky.log"),
+    }]
+    m = tmp_path / "m.json"
+    write_manifest(m, jobs)
+    r = run_queue(m)
+    assert r.returncode == 0, r.stdout
+    assert art.read_text().strip() == "ok"
+    lines = count.read_text().strip().split("\n")
+    assert lines == ["1", "retry"]
+    log = (tmp_path / "flaky.log").read_text()
+    assert "attempt 1" in log and "attempt 2" in log
+
+
+def test_post_step_harvests(tmp_path):
+    src = tmp_path / "src.txt"
+    dst = tmp_path / "harvest" / "dst.txt"
+    jobs = [{
+        "name": "harvested",
+        "artifacts": [str(dst)],
+        "cmd": f"echo data > {src}",
+        "post": f"mkdir -p {dst.parent} && cp {src} {dst}",
+    }]
+    m = tmp_path / "m.json"
+    write_manifest(m, jobs)
+    r = run_queue(m)
+    assert r.returncode == 0, r.stdout
+    assert dst.read_text().strip() == "data"
+
+
+def test_status_runs_nothing(tmp_path):
+    marker = tmp_path / "marker.txt"
+    jobs = [{"name": "pending", "artifacts": [str(tmp_path / "x")],
+             "cmd": f"touch {marker}"}]
+    m = tmp_path / "m.json"
+    write_manifest(m, jobs)
+    r = run_queue(m, "--status")
+    assert r.returncode == 0
+    assert "pending" in r.stdout
+    assert not marker.exists()
+
+
+def test_only_filter_and_stop_on_failure(tmp_path):
+    ran_b = tmp_path / "b_ran.txt"
+    jobs = [
+        {"name": "a", "artifacts": [str(tmp_path / "a.out")],
+         "cmd": "false", "retries": 1},
+        {"name": "b", "artifacts": [str(ran_b)], "cmd": f"touch {ran_b}"},
+    ]
+    m = tmp_path / "m.json"
+    write_manifest(m, jobs)
+    # default: stop at failed job a; b never runs
+    r = run_queue(m)
+    assert r.returncode == 1
+    assert not ran_b.exists()
+    # --only b: run just b
+    r2 = run_queue(m, "--only", "b")
+    assert r2.returncode == 0
+    assert ran_b.exists()
+
+
+def test_keep_going_runs_rest(tmp_path):
+    ran_b = tmp_path / "b_ran.txt"
+    jobs = [
+        {"name": "a", "artifacts": [str(tmp_path / "a.out")],
+         "cmd": "false", "retries": 1},
+        {"name": "b", "artifacts": [str(ran_b)], "cmd": f"touch {ran_b}"},
+    ]
+    m = tmp_path / "m.json"
+    write_manifest(m, jobs)
+    r = run_queue(m, "--keep-going")
+    assert r.returncode == 1  # failure still reported
+    assert ran_b.exists()  # but b ran
+
+
+def test_resolve_corpus_seed_axis(tmp_path, monkeypatch):
+    """data.corpus_seed resolves dir -> dir_sN and seeds generation
+    (round-2 VERDICT item 8)."""
+    from cmx.config.config import Config
+    from cmx.data.synthetic import resolve_corpus
+
+    cfg = Config()
+    cfg.data.data_dir = str(tmp_path / "corp")
+    cfg.data.synthetic_n = 4
+    cfg.data.image_size = 32
+    d0 = resolve_corpus(cfg.data)
+    assert d0 == cfg.data.data_dir
+    assert len(os.listdir(os.path.join(d0, "imgs"))) == 4
+
+    cfg.data.corpus_seed = 1
+    d1 = resolve_corpus(cfg.data)
+    assert d1 == cfg.data.data_dir + "_s1"
+    import numpy as np
+    a = np.load(os.path.join(d0, "imgs", "sample_0000.npy"))
+    b = np.load(os.path.join(d1, "imgs", "sample_0000.npy"))
+    assert a.shape == b.shape == (32, 32)
+    assert not np.allclose(a, b)  # different corpus seed => different data
+
+    # idempotent-by-absence: re-resolve does not rewrite
+    t0 = os.path.getmtime(os.path.join(d1, "imgs", "sample_0000.npy"))
+    resolve_corpus(cfg.data)
+    assert os.path.getmtime(os.path.join(d1, "imgs", "sample_0000.npy")) == t0

@@ -1,0 +1,185 @@
+"""Resumable experiment queue — one manifest instead of per-reset shell scripts.
+
+Round-2 VERDICT item 7: the five container resets each forced a hand-written
+`runs_round2_session*.sh`, losing in-flight work and making "what ran last"
+archaeology. This tool replaces that pattern: a JSON manifest of jobs, each
+keyed by the artifact path(s) it must produce. Re-running after a reset skips
+every satisfied job and resumes at the first unsatisfied one — zero new
+scripts per reset. `--status` answers "what ran / what's pending" directly.
+
+Manifest: a JSON list of job objects, executed in order:
+  {
+    "name": "seed1-pretrain-genesis",          # unique id
+    "artifacts": ["runs/seed1/ckpt/genesis/encoder.npz"],  # all exist => skip
+    "cmd": "python -m cmx.cli.pretrain --task genesis ...",# run via bash -c
+    "retry_cmd": "... train.resume=True",      # optional: used on retries
+                                               # (e.g. flip resume on)
+    "log": "runs/seed1/pretrain_genesis.log",  # stdout+stderr appended here
+    "timeout": 7200,                           # per-attempt seconds (def 7200)
+    "retries": 3,                              # total attempts (default 3)
+    "tpu": true,                               # probe the TPU before each try
+    "post": "cp runs/.../test_*.json artifacts/..."  # optional harvest step,
+                                               # runs after cmd succeeds
+  }
+
+The TPU probe runs in a subprocess (a half-dead axon tunnel hangs backend
+init inside a C call — not interruptible in-process; see bench._wait_backend)
+and is CAPPED: after --tpu-tries failed probes (default 30 ~ 1 h) the queue
+exits nonzero with a clear message, so a dead tunnel is distinguishable from
+a slow one (round-2 advisor finding on wait_tpu's unbounded loop).
+
+Usage:
+  python tools/run_queue.py manifest.json            # run pending jobs
+  python tools/run_queue.py manifest.json --status   # table only, no runs
+  python tools/run_queue.py manifest.json --only a,b # restrict to named jobs
+  python tools/run_queue.py manifest.json --keep-going  # don't stop at a
+                                                     # failed job; run the rest
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+VENV_BIN = "/opt/venv/bin"
+
+_PROBE = ("import jax, jax.numpy as jnp\n"
+          "x = jnp.ones((256, 256))\n"
+          "assert float((x @ x).sum()) > 0\n")
+
+
+def _env():
+    env = dict(os.environ)
+    path = env.get("PATH", "")
+    if VENV_BIN not in path.split(os.pathsep):
+        env["PATH"] = VENV_BIN + os.pathsep + path
+    env["PYTHONPATH"] = REPO + ":/root/.axon_site"
+    return env
+
+
+def wait_tpu(max_tries: int, sleep_s: int = 120, probe_timeout: int = 420) -> bool:
+    python = os.path.join(VENV_BIN, "python")
+    if not os.path.exists(python):
+        python = sys.executable
+    for attempt in range(1, max_tries + 1):
+        try:
+            subprocess.run([python, "-c", _PROBE], check=True, env=_env(),
+                           timeout=probe_timeout, stdout=subprocess.DEVNULL,
+                           stderr=subprocess.DEVNULL)
+            return True
+        except (subprocess.CalledProcessError, subprocess.TimeoutExpired):
+            print(f"[queue] TPU unavailable (probe {attempt}/{max_tries}); "
+                  f"sleep {sleep_s}s", flush=True)
+            if attempt < max_tries:
+                time.sleep(sleep_s)
+    return False
+
+
+def satisfied(job) -> bool:
+    arts = job.get("artifacts", [])
+    return bool(arts) and all(os.path.exists(a) for a in arts)
+
+
+def run_job(job, tpu_tries: int) -> bool:
+    name = job["name"]
+    log = job.get("log")
+    retries = int(job.get("retries", 3))
+    timeout = int(job.get("timeout", 7200))
+    if log:
+        os.makedirs(os.path.dirname(log) or ".", exist_ok=True)
+    for attempt in range(1, retries + 1):
+        if job.get("tpu") and not wait_tpu(tpu_tries):
+            print(f"[queue] FATAL: TPU still down after {tpu_tries} probes "
+                  f"(job {name})", flush=True)
+            return False
+        cmd = job["cmd"] if attempt == 1 else job.get("retry_cmd", job["cmd"])
+        print(f"[queue] {name}: attempt {attempt}/{retries}: {cmd}", flush=True)
+        logf = open(log, "a") if log else None
+        try:
+            if logf:
+                logf.write(f"\n=== [queue] {name} attempt {attempt} "
+                           f"@ {time.strftime('%F %T')} ===\n$ {cmd}\n")
+                logf.flush()
+            r = subprocess.run(["bash", "-c", cmd], cwd=REPO, env=_env(),
+                               timeout=timeout,
+                               stdout=logf or None, stderr=subprocess.STDOUT
+                               if logf else None)
+            ok = r.returncode == 0
+        except subprocess.TimeoutExpired:
+            ok = False
+            print(f"[queue] {name}: attempt {attempt} timed out ({timeout}s)",
+                  flush=True)
+        finally:
+            if logf:
+                logf.close()
+        if ok:
+            post = job.get("post")
+            if post:
+                pr = subprocess.run(["bash", "-c", post], cwd=REPO, env=_env())
+                if pr.returncode != 0:
+                    print(f"[queue] {name}: post step failed", flush=True)
+                    return False
+            missing = [a for a in job.get("artifacts", [])
+                       if not os.path.exists(a)]
+            if missing:
+                print(f"[queue] {name}: cmd succeeded but artifacts missing: "
+                      f"{missing}", flush=True)
+                return False
+            print(f"[queue] {name}: DONE", flush=True)
+            return True
+        print(f"[queue] {name}: attempt {attempt} failed", flush=True)
+    return False
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("manifest")
+    ap.add_argument("--status", action="store_true",
+                    help="print satisfied/pending table and exit")
+    ap.add_argument("--only", default=None,
+                    help="comma-separated job names to consider")
+    ap.add_argument("--keep-going", action="store_true",
+                    help="continue past a failed job instead of stopping")
+    ap.add_argument("--tpu-tries", type=int, default=30,
+                    help="max TPU probes per wait (~2 min each; default 30)")
+    args = ap.parse_args()
+
+    with open(args.manifest) as f:
+        jobs = json.load(f)
+    names = [j["name"] for j in jobs]
+    assert len(set(names)) == len(names), "duplicate job names in manifest"
+    if args.only:
+        keep = set(args.only.split(","))
+        unknown = keep - set(names)
+        assert not unknown, f"unknown job names: {sorted(unknown)}"
+        jobs = [j for j in jobs if j["name"] in keep]
+
+    width = max(len(j["name"]) for j in jobs) if jobs else 4
+    print(f"[queue] manifest {args.manifest}: {len(jobs)} jobs")
+    for j in jobs:
+        state = "satisfied" if satisfied(j) else "pending"
+        print(f"  {j['name']:<{width}}  {state}")
+    if args.status:
+        return 0
+
+    failed = []
+    for j in jobs:
+        if satisfied(j):
+            continue
+        if not run_job(j, args.tpu_tries):
+            failed.append(j["name"])
+            if not args.keep_going:
+                print(f"[queue] stopping at failed job {j['name']}", flush=True)
+                return 1
+    if failed:
+        print(f"[queue] finished with failures: {failed}", flush=True)
+        return 1
+    print("[queue] all jobs satisfied", flush=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

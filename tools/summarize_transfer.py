@@ -87,47 +87,88 @@ FT_RATIO = {"ft": 0.01, "ft01": 0.01, "ft05": 0.05, "ft10": 0.1,
             "ft20": 0.2, "ft30": 0.3}
 
 
-def matrix(root="runs/transfer_r2"):
-    """Print the consolidated cmx-vs-reference Dice matrix across every
-    completed ft* column under `root` (reference grid:
-    Finetuning/models_checkpoints/PT-FT_split_experiments/, 30 pickles).
+# Config provenance notes per (tag, seed): cells whose capture config
+# differs from the shipped defaults (round-2 VERDICT weak #3).
+PROVENANCE = {
+    ("moco", 0): "cubic crop (pre-18bcf35 capture; shipped default is "
+                 "linear — 79/1 recapture moved -3.9 pts, inside seed noise)",
+}
+
+
+def scan_cells(root="runs/transfer_r2"):
+    """Collect cells[(tag, ratio)][seed] = dice from every harvested or live
+    ft column. Directory convention: `ft<RR>` = corpus seed 0,
+    `seed<N>_ft<RR>` = corpus seed N (the data.corpus_seed axis).
     The git-tracked artifacts/r2 harvest tree is read first as a fallback
     so cells survive the loss of the gitignored runs/ tree; a live runs/
     column overwrites its artifact copy (values are identical when both
     exist — the harvest is a straight cp)."""
+    pat = re.compile(r"^(?:seed(\d+)_)?(ft\d*)$")
     cells = {}
-    seen_ratios = set()
     for scan_root in ("artifacts/r2", root):
-        for d in sorted(glob.glob(os.path.join(scan_root, "ft*"))):
-            base = os.path.basename(d)
-            if not os.path.isdir(d) or base not in FT_RATIO:
+        for d in sorted(glob.glob(os.path.join(scan_root, "*ft*"))):
+            m = pat.match(os.path.basename(d))
+            if not os.path.isdir(d) or not m or m.group(2) not in FT_RATIO:
                 continue
-            ratio = FT_RATIO[base]
-            seen_ratios.add(ratio)
+            seed = int(m.group(1) or 0)
+            ratio = FT_RATIO[m.group(2)]
             for path in glob.glob(os.path.join(d, "test_*.json")):
                 tag = os.path.basename(path)[5:-5]
                 tag = "scratch" if tag == "None" else tag
                 with open(path) as f:
-                    cells[(tag, ratio)] = json.load(f)["dice"]
-    cols = [(r, None) for r in sorted(seen_ratios)]
-    if not cols:
+                    cells.setdefault((tag, ratio), {})[seed] = json.load(f)["dice"]
+    return cells
+
+
+def matrix(root="runs/transfer_r2"):
+    """Print the consolidated cmx-vs-reference Dice matrix across every
+    completed ft* column (reference grid:
+    Finetuning/models_checkpoints/PT-FT_split_experiments/, 30 pickles).
+    Cells with >1 corpus seed print mean±half-range [n]; the Spearman
+    pattern check uses the n-seed mean."""
+    cells = scan_cells(root)
+    ratios = sorted({r for _, r in cells})
+    if not ratios:
         return
+    seeds_per = {k: sorted(v) for k, v in cells.items()}
+    all_seeds = sorted({s for v in cells.values() for s in v})
     print("\n## cmx vs reference: test Dice across the full split matrix")
     print("(cmx on the hard-synthetic corpus analog; reference on FAME2 — "
-          "compare patterns, not absolutes)")
-    hdr = " | ".join(f"{SPLIT_NAME[r]} (r={r:g})" for r, _ in cols)
+          "compare patterns, not absolutes; multi-seed cells show "
+          "mean±half-range [n seeds])")
+    hdr = " | ".join(f"{SPLIT_NAME[r]} (r={r:g})" for r in ratios)
     print(f"| method | {hdr} |")
-    print("|---|" + "---|" * len(cols))
+    print("|---|" + "---|" * len(ratios))
     main_tags = ("scratch", "cmunet", "spark", "genesis", "moco", "mae")
     extra_tags = sorted({t for t, _ in cells} - set(main_tags))
+
+    def mean(vals):
+        return sum(vals) / len(vals)
+
+    notes = set()
     for tag in main_tags + tuple(extra_tags):
         row = []
-        for ratio, _ in cols:
-            v = cells.get((tag, ratio))
+        for ratio in ratios:
+            per_seed = cells.get((tag, ratio))
             ref = REF.get(tag, {}).get(ratio)
             rs = f" (ref {ref:.4f})" if ref is not None else ""
-            row.append(f"{v:.4f}{rs}" if v is not None else "—")
+            if not per_seed:
+                row.append("—")
+                continue
+            vs = [per_seed[s] for s in sorted(per_seed)]
+            star = ""
+            for s in per_seed:
+                if (tag, s) in PROVENANCE:
+                    star = "*"
+                    notes.add((tag, s))
+            if len(vs) > 1:
+                half = (max(vs) - min(vs)) / 2
+                row.append(f"{mean(vs):.4f}±{half:.4f} [{len(vs)}]{star}{rs}")
+            else:
+                row.append(f"{vs[0]:.4f}{star}{rs}")
         print(f"| {tag} | " + " | ".join(row) + " |")
+    for tag, s in sorted(notes):
+        print(f"\\* {tag} seed-{s} cells: {PROVENANCE[(tag, s)]}")
 
     # Per-column Spearman rank correlation of the 6-method ordering vs the
     # reference — the quantitative "does the PATTERN reproduce" summary
@@ -145,14 +186,27 @@ def matrix(root="runs/transfer_r2"):
         return 1.0 - 6.0 * d2 / (n * (n * n - 1))
 
     rhos = []
-    for ratio, _ in cols:
+    for ratio in ratios:
         col = [(cells.get((t, ratio)), REF[t].get(ratio)) for t in main_tags]
-        if all(c is not None and r is not None for c, r in col):
-            rho = spearman([c for c, _ in col], [r for _, r in col])
+        if all(c and r is not None for c, r in col):
+            rho = spearman([mean(list(c.values())) for c, _ in col],
+                           [r for _, r in col])
             rhos.append((ratio, rho))
     if rhos:
-        print("\nmethod-ranking Spearman rho vs reference, per column: "
+        print("\nmethod-ranking Spearman rho vs reference, per column "
+              "(n-seed means): "
               + ", ".join(f"{SPLIT_NAME[r]}: {rho:+.2f}" for r, rho in rhos))
+    if len(all_seeds) > 1:
+        # n-seed agreement summary: which claims survive across seeds
+        print("\nper-seed method order by column:")
+        for ratio in ratios:
+            for s in all_seeds:
+                col = {t: cells[(t, ratio)][s] for t in main_tags
+                       if (t, ratio) in cells and s in cells[(t, ratio)]}
+                if len(col) >= 2:
+                    order = sorted(col, key=lambda t: -col[t])
+                    print(f"  {SPLIT_NAME[ratio]} seed {s}: "
+                          + " > ".join(order))
 
 
 def seed_column(seed1_dir="artifacts/r2/seed1_ft01",
