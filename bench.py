@@ -341,11 +341,14 @@ if __name__ == "__main__":
                          "scan segments) vs the device-resident step; "
                          "writes BENCH_LIVE.json")
     ap.add_argument("--batch", type=int, default=BATCH)
+    ap.add_argument("--out", default=None,
+                    help="output JSON path for --all/--live (defaults "
+                         "BENCH_ALL.json / BENCH_LIVE.json)")
     cli = ap.parse_args()
     _wait_backend()
     if cli.live:
-        bench_live(cli.batch)
+        bench_live(cli.batch, **({"out_path": cli.out} if cli.out else {}))
     elif cli.all:
-        bench_all()
+        bench_all(**({"out_path": cli.out} if cli.out else {}))
     else:
         main()

@@ -123,8 +123,12 @@ class TaskConfig:
     # MoCo crop execution: "scale_translate" = jax.image.scale_and_translate;
     # "einsum" = the same separable weight matrices as two explicit batched
     # dots (identical linear map, fp round-off only); "einsum_bf16" = bf16
-    # dots with fp32 accumulation (documented numeric deviation). See
-    # cmx/ops/augment.py CROP_IMPL and the round-2 MoCo aug A/B in RESULTS.md.
+    # dots with fp32 accumulation (documented numeric deviation); "pallas" =
+    # fused VMEM kernel (exact, opt-in); "bank" = integer crop windows
+    # (torchvision's own get_params quantization) with weights fetched from
+    # a precomputed per-extent bank by one-hot matmuls — removes the
+    # per-sample weight-construction floor (RESULTS crop2/round 3). See
+    # cmx/ops/augment.py CROP_IMPL.
     crop_impl: str = "scale_translate"
     full_unet: bool = True
     augment: bool = True

@@ -84,24 +84,27 @@ def _resize_weight_mat(
 # "pallas" fuses weight construction + both dots into one VMEM-resident
 # kernel per image (cmx/ops/pallas_crop.py) — same linear map, fp32
 # round-off differences only, built because the weight-matrix CONSTRUCTION
-# is the measured cost floor of the XLA formulations (RESULTS "crop2").
+# is the measured cost floor of the XLA formulations (RESULTS "crop2");
+# "bank" rounds the crop window to INTEGER extents/offsets (torchvision's
+# own get_params quantization) and fetches per-sample weights from a
+# precomputed per-extent bank via one-hot matmuls — no per-sample weight
+# construction at all (see bank_crop_batch; RESULTS round 3).
 CROP_IMPL = "scale_translate"
 
 
-def _crop_window_params(
+def _crop_window_box(
     key: jax.Array,
     h: int,
     w: int,
-    out_size: int,
     scale: Tuple[float, float],
     ratio: Tuple[float, float],
 ):
-    """torchvision RandomResizedCrop window draw -> scale_and_translate args.
+    """torchvision RandomResizedCrop window draw (continuous).
 
-    Returns (sy, ty, sx, tx): per-axis scale and translation mapping the
-    sampled crop window [y0, y0+ch) x [x0, x0+cw) onto (out, out). Factored
-    so every `random_resized_crop` impl (and the batch-hoisted pallas path
-    in `moco_view_aug_batch`) consumes the identical RNG stream and window
+    Returns (ch, y0, cw, x0): the sampled crop window
+    [y0, y0+ch) x [x0, x0+cw). Factored so every `random_resized_crop`
+    impl (including the batch-hoisted pallas/bank paths in
+    `moco_view_aug_batch`) consumes the identical RNG stream and window
     math."""
     k1, k2, k3, k4 = jax.random.split(key, 4)
     area = h * w * jax.random.uniform(k1, minval=scale[0], maxval=scale[1])
@@ -115,9 +118,136 @@ def _crop_window_params(
     ch = jnp.clip(ch, 1.0, h)
     y0 = jax.random.uniform(k3, minval=0.0, maxval=1.0) * (h - ch)
     x0 = jax.random.uniform(k4, minval=0.0, maxval=1.0) * (w - cw)
+    return ch, y0, cw, x0
+
+
+def _crop_window_params(
+    key: jax.Array,
+    h: int,
+    w: int,
+    out_size: int,
+    scale: Tuple[float, float],
+    ratio: Tuple[float, float],
+):
+    """_crop_window_box -> scale_and_translate args (sy, ty, sx, tx)."""
+    ch, y0, cw, x0 = _crop_window_box(key, h, w, scale, ratio)
     sy = out_size / ch
     sx = out_size / cw
     return sy, -y0 * sy, sx, -x0 * sx
+
+
+# ------------------------------------------------------- bank crop (impl)
+
+_BANK_PAD = 4  # bank row margin: kernel support never exceeds 2 taps/side
+_BANK_CACHE: dict = {}
+
+
+def crop_ch_range(
+    in_size: int, scale: Tuple[float, float], ratio: Tuple[float, float],
+    other_size: int | None = None,
+) -> Tuple[int, int]:
+    """Integer range [ch_min, ch_max] one crop axis can take under the
+    torchvision area/aspect draw (used to size the weight bank)."""
+    other = other_size or in_size
+    lo = math.sqrt(scale[0] * in_size * other / ratio[1])
+    hi = math.sqrt(scale[1] * in_size * other / ratio[0])
+    return max(1, int(math.floor(lo))), min(in_size, int(math.ceil(hi)))
+
+
+def _crop_weight_bank(
+    in_size: int, out_size: int, method: str, ch_min: int, ch_max: int
+) -> jnp.ndarray:
+    """(L, P, out) resample-weight bank for integer crop extents
+    ch in [ch_min, ch_max], window at offset 0, on a padded row axis
+    (P = in_size + 2*_BANK_PAD, row p = input position p - _BANK_PAD).
+
+    Each level's weights are WINDOW-CONFINED: taps are masked to
+    [0, ch) and renormalized per output column — i.e. the semantics of
+    torchvision's crop-then-resize (the resize never reads outside the
+    crop), not scale_and_translate's whole-array taps. Built once per
+    (sizes, method, range) as a single vmapped computation; reused across
+    steps as a jit constant."""
+    key = (in_size, out_size, method, ch_min, ch_max)
+    if key not in _BANK_CACHE:
+        pad = _BANK_PAD
+        pos = jnp.arange(in_size + 2 * pad, dtype=jnp.float32) - pad
+
+        def level(ch):
+            inv = ch / out_size
+            kernel_scale = jnp.maximum(inv, 1.0)  # antialias on downscale
+            sample_f = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * inv - 0.5
+            x = jnp.abs(sample_f[None, :] - pos[:, None]) / kernel_scale
+            if method in ("linear", "triangle", "bilinear"):
+                w = jnp.maximum(0.0, 1.0 - x)
+            elif method in ("cubic", "bicubic"):
+                w = _keys_cubic_kernel(x)
+            else:
+                raise ValueError(f"unsupported resize method {method!r}")
+            inside = (pos[:, None] >= 0.0) & (pos[:, None] <= ch - 1.0)
+            w = jnp.where(inside, w, 0.0)
+            total = jnp.sum(w, axis=0, keepdims=True)
+            return w / jnp.where(total > 0, total, 1.0)
+
+        chs = jnp.arange(ch_min, ch_max + 1, dtype=jnp.float32)
+        _BANK_CACHE[key] = jax.jit(jax.vmap(level))(chs)
+    return _BANK_CACHE[key]
+
+
+def _bank_axis_weights(
+    in_size: int, out_size: int, method: str,
+    ch: jnp.ndarray, off: jnp.ndarray, ch_min: int, ch_max: int,
+) -> jnp.ndarray:
+    """(B, in, out) per-sample resample weights, fetched from the bank by
+    two one-hot matmuls (level select + integer row shift) — no gathers,
+    no per-sample weight CONSTRUCTION (the measured ~77 ms/batch floor of
+    the iota/normalize formulation, RESULTS crop2). One-hot dots at
+    Precision.HIGHEST select values exactly (single nonzero product per
+    output), so the fetched weights are bit-identical to the bank rows."""
+    bank = _crop_weight_bank(in_size, out_size, method, ch_min, ch_max)
+    levels = jnp.arange(ch_min, ch_max + 1, dtype=jnp.int32)
+    onehot_l = (ch[:, None] == levels[None, :]).astype(jnp.float32)  # (B, L)
+    slab = jnp.einsum("bl,lpo->bpo", onehot_l, bank,
+                      precision=jax.lax.Precision.HIGHEST)
+    ii = jnp.arange(in_size, dtype=jnp.int32)[None, :, None]
+    pp = jnp.arange(bank.shape[1], dtype=jnp.int32)[None, None, :]
+    sel = (pp == ii - off[:, None, None] + _BANK_PAD).astype(jnp.float32)
+    return jnp.einsum("bip,bpo->bio", sel, slab,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
+def bank_crop_batch(
+    imgs: jnp.ndarray,
+    box: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray],
+    out_size: int,
+    method: str = "linear",
+    scale: Tuple[float, float] = (0.2, 1.0),
+    ratio: Tuple[float, float] = (3 / 4, 4 / 3),
+) -> jnp.ndarray:
+    """RandomResizedCrop over a batch via precomputed weight banks.
+
+    `box` = continuous (ch, y0, cw, x0) arrays of shape (B,) from
+    `_crop_window_box` (same RNG stream as every other impl); they are
+    rounded to INTEGER windows here. Deviation vs the continuous impls:
+    window quantization only — and torchvision itself quantizes
+    (RandomResizedCrop.get_params returns int(round(..)) extents and
+    randint offsets), and its tensor resize never reads outside the crop,
+    both of which this path reproduces; the continuous scale_and_translate
+    formulation is the one that deviates from the reference there
+    (PARITY §2.5)."""
+    b, h, w = imgs.shape
+    ch, y0, cw, x0 = box
+    cmn_y, cmx_y = crop_ch_range(h, scale, ratio, w)
+    cmn_x, cmx_x = crop_ch_range(w, scale, ratio, h)
+    chi = jnp.clip(jnp.round(ch).astype(jnp.int32), cmn_y, cmx_y)
+    cwi = jnp.clip(jnp.round(cw).astype(jnp.int32), cmn_x, cmx_x)
+    y0i = jnp.clip(jnp.round(y0).astype(jnp.int32), 0, h - chi)
+    x0i = jnp.clip(jnp.round(x0).astype(jnp.int32), 0, w - cwi)
+    wy = _bank_axis_weights(h, out_size, method, chi, y0i, cmn_y, cmx_y)
+    wx = _bank_axis_weights(w, out_size, method, cwi, x0i, cmn_x, cmx_x)
+    t = jnp.einsum("bho,bhw->bow", wy, imgs.astype(jnp.float32),
+                   precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("bwp,bow->bop", wx, t,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def random_resized_crop(
@@ -144,8 +274,17 @@ def random_resized_crop(
     (configs/cmunet_config.py:49).
     """
     h, w = img.shape[0], img.shape[1]
-    sy, ty, sx, tx = _crop_window_params(key, h, w, out_size, scale, ratio)
     impl = impl or CROP_IMPL
+    if impl == "bank":
+        box = _crop_window_box(key, h, w, scale, ratio)
+        img3 = img[None] if img.ndim == 2 else jnp.moveaxis(img, -1, 0)
+        out = bank_crop_batch(img3.astype(jnp.float32),
+                              tuple(jnp.broadcast_to(v, (img3.shape[0],))
+                                    for v in box),
+                              out_size, method=method, scale=scale,
+                              ratio=ratio)
+        return out[0] if img.ndim == 2 else jnp.moveaxis(out, 0, -1)
+    sy, ty, sx, tx = _crop_window_params(key, h, w, out_size, scale, ratio)
     if impl == "pallas":
         from cmx.ops.pallas_crop import crop_resize_pallas
 
@@ -711,6 +850,18 @@ def moco_view_aug_batch(
     keys = jax.random.split(key, batch.shape[0])
     ks = jax.vmap(lambda k: jax.random.split(k, 6))(keys)     # (B, 6) keys
     rot = batch_rotate_nearest(ks[:, 0], batch, 180.0, p=0.5)
+    if (crop_impl or CROP_IMPL) == "bank":
+        # Batch-hoisted bank crop: window draws from the SAME key tree
+        # (ks[:, 1]) and window math (_crop_window_box), weights fetched
+        # from the per-extent bank with one-hot matmuls — the crop stage
+        # has NO per-sample weight construction (RESULTS round 3).
+        b, h, w = rot.shape
+        box = jax.vmap(lambda k: jnp.stack(_crop_window_box(
+            k, h, w, (0.2, 1.0), (3 / 4, 4 / 3))))(ks[:, 1])
+        cropped = bank_crop_batch(
+            rot, (box[:, 0], box[:, 1], box[:, 2], box[:, 3]), out_size,
+            method=crop_method or CROP_METHOD)
+        return jax.vmap(_moco_view_post_crop)(ks, cropped)
     if (crop_impl or CROP_IMPL) == "pallas":
         # Hoist the crop out of the vmap too: ONE fused kernel over the
         # batch (grid=B) instead of B vmapped crops. Same per-image key

@@ -1,0 +1,151 @@
+"""Bank crop (task.crop_impl="bank"): integer-window RandomResizedCrop via
+precomputed per-extent weight banks fetched with one-hot matmuls.
+
+Exactness contract (cmx/ops/augment.py::bank_crop_batch): the only
+deviation vs the continuous impls is window quantization — which
+torchvision itself performs (RandomResizedCrop.get_params rounds extents
+and draws integer offsets), and the window-confined resample (taps never
+read outside the crop) is torchvision's crop-then-resize semantics. These
+tests pin:
+  * full-window case == jax.image.scale_and_translate (fp round-off)
+  * arbitrary integer windows == torch F.interpolate(bilinear, antialias)
+    on the cropped window (the reference-library oracle)
+  * batch path == per-sample path, same RNG window stream as other impls
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cmx.ops.augment import (
+    _crop_window_box,
+    _crop_window_params,
+    bank_crop_batch,
+    crop_ch_range,
+    moco_view_aug_batch,
+    random_resized_crop,
+)
+
+
+def test_full_window_matches_scale_and_translate(rng):
+    """ch = H, offset 0: the crop is a plain resize; window-confined
+    renormalization coincides with scale_and_translate's in-array
+    renormalization, so the two formulations agree to fp round-off."""
+    h = out = 0
+    img = jnp.asarray(rng.normal(size=(64, 64)).astype(np.float32))
+    box = (jnp.array([64.0]), jnp.array([0.0]),
+           jnp.array([64.0]), jnp.array([0.0]))
+    got = bank_crop_batch(img[None], box, 48, method="linear",
+                          scale=(0.2, 1.0), ratio=(3 / 4, 4 / 3))[0]
+    want = jax.image.scale_and_translate(
+        img[..., None], (48, 48, 1), (0, 1),
+        jnp.array([48 / 64, 48 / 64]), jnp.array([0.0, 0.0]),
+        method="linear", antialias=True)[..., 0]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-6, rtol=0)
+
+
+@pytest.mark.parametrize("ch,y0,cw,x0", [
+    (56, 3, 40, 20),   # downscale both axes
+    (30, 10, 34, 5),   # upscale both axes
+    (48, 0, 64, 0),    # mixed; windows touching the border
+])
+def test_matches_torch_crop_then_resize(rng, ch, y0, cw, x0):
+    """Integer window -> bank crop == torch F.interpolate(bilinear,
+    antialias=True) of the cropped window — the same algorithm torchvision
+    uses for tensor-backend resized_crop."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    img = rng.normal(size=(64, 64)).astype(np.float32)
+    out = 48
+    box = (jnp.array([float(ch)]), jnp.array([float(y0)]),
+           jnp.array([float(cw)]), jnp.array([float(x0)]))
+    got = bank_crop_batch(jnp.asarray(img)[None], box, out, method="linear",
+                          scale=(0.1, 1.0), ratio=(1 / 2, 2.0))[0]
+    win = torch.from_numpy(img[y0:y0 + ch, x0:x0 + cw])[None, None]
+    want = F.interpolate(win, size=(out, out), mode="bilinear",
+                         antialias=True, align_corners=False)[0, 0].numpy()
+    # 1e-4: fp32 round-off between the two weight/accumulation orders
+    # (measured max 2.6e-5 over these windows)
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-4, rtol=0)
+
+
+def test_bank_rounding_and_range(rng):
+    """Continuous boxes round to integers clipped into the bank range and
+    valid offsets; output stays finite for extreme draws."""
+    imgs = jnp.asarray(rng.normal(size=(4, 64, 64)).astype(np.float32))
+    lo, hi = crop_ch_range(64, (0.2, 1.0), (3 / 4, 4 / 3))
+    assert 1 <= lo < hi <= 64
+    # extreme continuous draws: below/above the range, offsets at the edge
+    box = (jnp.array([1.0, 63.7, float(lo), float(hi)]),
+           jnp.array([0.0, 0.2, 63.0, 0.0]),
+           jnp.array([64.0, 28.4, float(lo), float(hi)]),
+           jnp.array([0.0, 35.1, 63.0, 0.0]))
+    out = bank_crop_batch(imgs, box, 48)
+    assert out.shape == (4, 48, 48)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_single_image_impl_matches_batch(rng):
+    """random_resized_crop(impl="bank") on one image == the batched path
+    with the same key (same _crop_window_box stream)."""
+    img = jnp.asarray(rng.normal(size=(64, 64)).astype(np.float32))
+    key = jax.random.key(7)
+    got = random_resized_crop(key, img, 48, scale=(0.2, 1.0), impl="bank")
+    box = _crop_window_box(key, 64, 64, (0.2, 1.0), (3 / 4, 4 / 3))
+    want = bank_crop_batch(
+        img[None], tuple(jnp.broadcast_to(v, (1,)) for v in box), 48)[0]
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_window_stream_shared_with_other_impls():
+    """The bank path consumes the same RNG draws as scale_translate: the
+    continuous box converts to exactly the (sy, ty, sx, tx) the other
+    impls use."""
+    key = jax.random.key(3)
+    ch, y0, cw, x0 = _crop_window_box(key, 64, 64, (0.2, 1.0), (3 / 4, 4 / 3))
+    sy, ty, sx, tx = _crop_window_params(key, 64, 64, 48, (0.2, 1.0),
+                                         (3 / 4, 4 / 3))
+    np.testing.assert_allclose(float(sy), 48 / float(ch), rtol=1e-6)
+    np.testing.assert_allclose(float(ty), -float(y0) * 48 / float(ch),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(float(sx), 48 / float(cw), rtol=1e-6)
+    np.testing.assert_allclose(float(tx), -float(x0) * 48 / float(cw),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_quantization_deviation_is_small(rng):
+    """bank vs scale_translate on the same keys: differences are bounded by
+    the sub-pixel window quantization (not a wrong resample)."""
+    imgs = jnp.asarray(rng.normal(size=(8, 64, 64)).astype(np.float32))
+    imgs = jnp.cumsum(jnp.cumsum(imgs, 1), 2) / 64.0  # smooth field
+    key = jax.random.key(11)
+    keys = jax.random.split(key, 8)
+    a = jax.vmap(lambda k, im: random_resized_crop(
+        k, im, 48, impl="scale_translate"))(keys, imgs)
+    b = jax.vmap(lambda k, im: random_resized_crop(
+        k, im, 48, impl="bank"))(keys, imgs)
+    diff = float(jnp.mean(jnp.abs(a - b)))
+    scale = float(jnp.mean(jnp.abs(a)))
+    # <=half-pixel window shifts on a 64px image move the view by ~7% of
+    # mean |value| at most; at the production 256->224 the same half-pixel
+    # is proportionally ~4x smaller. This bound catches a wrong resample,
+    # not the documented quantization.
+    assert diff < 0.1 * scale, (diff, scale)
+
+
+def test_moco_view_aug_batch_bank(rng):
+    """The batch-hoisted bank view pipeline runs, and its non-crop stages
+    share the key tree: the output equals vmapped per-sample views with
+    impl='bank' (exact same window draws + post-crop chain)."""
+    imgs = jnp.asarray(rng.normal(size=(4, 64, 64)).astype(np.float32))
+    key = jax.random.key(5)
+    got = moco_view_aug_batch(key, imgs, 48, crop_impl="bank")
+    assert got.shape == (4, 48, 48)
+    assert bool(jnp.all(jnp.isfinite(got)))
+    from cmx.ops.augment import moco_view_aug, vmap_aug
+    want = vmap_aug(moco_view_aug, key, imgs, 48, None, None, "bank")
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=0)

@@ -428,6 +428,23 @@ def crop3_ab():
     print(json.dumps({"crop_impl": "pallas_batch", "ms_per_batch": round(ms, 2),
                       "max_abs_diff_vs_scale_translate": round(diff, 6)}))
 
+    @jax.jit
+    def run_bank_batch(keys, imgs):
+        # the batch-hoisted wiring of moco_view_aug_batch: same RNG window
+        # stream, integer-quantized windows, weights from the bank
+        box = jax.vmap(lambda k: jnp.stack(A._crop_window_box(
+            k, SIZE, SIZE, (0.2, 1.0), (3 / 4, 4 / 3))))(keys)
+        return A.bank_crop_batch(
+            imgs, (box[:, 0], box[:, 1], box[:, 2], box[:, 3]), VIEW,
+            method="linear")
+
+    ms = _time(run_bank_batch, keys, imgs) * 1e3
+    out = run_bank_batch(keys, imgs)
+    diff = float(jnp.max(jnp.abs(out - ref)))
+    print(json.dumps({"crop_impl": "bank_batch", "ms_per_batch": round(ms, 2),
+                      "max_abs_diff_vs_scale_translate": round(diff, 6),
+                      "note": "diff = documented integer-window quantization"}))
+
 
 def view3_ab():
     """PRODUCTION view pipeline (moco_view_aug_batch: whole-batch rotation)
@@ -445,7 +462,7 @@ def view3_ab():
         return vq, vk
 
     ref = jax.jit(partial(two_views, ci="scale_translate"))(key, imgs)
-    for ci in ("scale_translate", "einsum", "pallas"):
+    for ci in ("scale_translate", "einsum", "pallas", "bank"):
         f = jax.jit(partial(two_views, ci=ci))
         ms = _time(f, key, imgs) * 1e3
         vq, vk = f(key, imgs)

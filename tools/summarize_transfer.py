@@ -105,7 +105,11 @@ def scan_cells(root="runs/transfer_r2"):
     exist — the harvest is a straight cp)."""
     pat = re.compile(r"^(?:seed(\d+)_)?(ft\d*)$")
     cells = {}
-    for scan_root in ("artifacts/r2", root):
+    origin = {}
+    # later roots supersede earlier ones: artifacts/r3 recaptures (shipped
+    # defaults) replace the r2 capture of the same cell; a live runs/
+    # column replaces its harvest copy.
+    for scan_root in ("artifacts/r2", "artifacts/r3", root):
         for d in sorted(glob.glob(os.path.join(scan_root, "*ft*"))):
             m = pat.match(os.path.basename(d))
             if not os.path.isdir(d) or not m or m.group(2) not in FT_RATIO:
@@ -117,7 +121,8 @@ def scan_cells(root="runs/transfer_r2"):
                 tag = "scratch" if tag == "None" else tag
                 with open(path) as f:
                     cells.setdefault((tag, ratio), {})[seed] = json.load(f)["dice"]
-    return cells
+                origin[(tag, ratio, seed)] = scan_root
+    return cells, origin
 
 
 def matrix(root="runs/transfer_r2"):
@@ -126,7 +131,7 @@ def matrix(root="runs/transfer_r2"):
     Finetuning/models_checkpoints/PT-FT_split_experiments/, 30 pickles).
     Cells with >1 corpus seed print mean±half-range [n]; the Spearman
     pattern check uses the n-seed mean."""
-    cells = scan_cells(root)
+    cells, origin = scan_cells(root)
     ratios = sorted({r for _, r in cells})
     if not ratios:
         return
@@ -158,7 +163,10 @@ def matrix(root="runs/transfer_r2"):
             vs = [per_seed[s] for s in sorted(per_seed)]
             star = ""
             for s in per_seed:
-                if (tag, s) in PROVENANCE:
+                # star only while the surviving cell still comes from the
+                # r2 capture; an artifacts/r3 recapture clears it
+                if ((tag, s) in PROVENANCE
+                        and origin.get((tag, ratio, s)) == "artifacts/r2"):
                     star = "*"
                     notes.add((tag, s))
             if len(vs) > 1:
