@@ -267,12 +267,14 @@ def shear3_equivalence():
         ("moco (matrix cell, cubic crop)", "artifacts/r2/ft01/test_moco.json"),
         ("moco linear-crop recapture", "artifacts/r2/moco_linear/test_moco_linear.json"),
         ("moco shear3 rotation", "artifacts/r2/moco_shear3/test_moco_shear3.json"),
+        ("moco bank crop (integer windows)", "artifacts/r3/moco_bank/test_moco_bank.json"),
         ("scratch", "artifacts/r2/ft01/test_None.json"),
     ):
         if os.path.exists(path):
             with open(path) as f:
                 cells[tag] = json.load(f)["dice"]
-    if "moco shear3 rotation" not in cells:
+    if ("moco shear3 rotation" not in cells
+            and "moco bank crop (integer windows)" not in cells):
         return
     print("\n## shear3 rotation transfer equivalence (79/1-analog)")
     print("| run | test Dice |")
