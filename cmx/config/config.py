@@ -127,8 +127,11 @@ class TaskConfig:
     # fused VMEM kernel (exact, opt-in); "bank" = integer crop windows
     # (torchvision's own get_params quantization) with weights fetched from
     # a precomputed per-extent bank by one-hot matmuls — removes the
-    # per-sample weight-construction floor (RESULTS crop2/round 3). See
-    # cmx/ops/augment.py CROP_IMPL.
+    # per-sample weight-construction floor (RESULTS crop2/round 3);
+    # "bank_fused" = bank crop + blur + flips composed into two batched
+    # matmuls per axis (exact linear map of the per-stage chain up to fp32
+    # round-off; the bank's window quantization is the only deviation).
+    # See cmx/ops/augment.py CROP_IMPL.
     crop_impl: str = "scale_translate"
     full_unet: bool = True
     augment: bool = True

@@ -19,6 +19,7 @@ from typing import Callable, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def vmap_aug(fn: Callable, key: jax.Array, batch: jnp.ndarray, *args):
@@ -215,6 +216,95 @@ def _bank_axis_weights(
                       precision=jax.lax.Precision.HIGHEST)
 
 
+_BLUR_BASIS_CACHE: dict = {}
+
+
+def _blur_basis(n: int, radius: int) -> jnp.ndarray:
+    """(2r+1, n, n) static 0/1 banded basis: basis[t][i, clamp(i+t-r)] = 1.
+
+    A per-sample edge-padded separable blur is then the batched matmul
+    B_b = einsum('bt,tij->bij', taps_b, basis) — the EXACT linear map of
+    gaussian_blur's replicate-pad depthwise conv (fp32 summation-order
+    round-off only), with the p-gate folded into the taps (identity tap =
+    delta at t=r)."""
+    key = (n, radius)
+    if key not in _BLUR_BASIS_CACHE:
+        t = np.arange(2 * radius + 1)[:, None]
+        i = np.arange(n)[None, :]
+        j = np.clip(i + t - radius, 0, n - 1)  # (T, n)
+        basis = np.zeros((2 * radius + 1, n, n), np.float32)
+        ti = np.broadcast_to(t, j.shape)
+        ii = np.broadcast_to(i, j.shape)
+        np.add.at(basis, (ti.ravel(), ii.ravel(), j.ravel()), 1.0)
+        _BLUR_BASIS_CACHE[key] = jnp.asarray(basis)
+    return _BLUR_BASIS_CACHE[key]
+
+
+def moco_view_tail_matmul(
+    ks: jnp.ndarray, rot: jnp.ndarray, out_size: int,
+    method: str = "linear",
+    scale: Tuple[float, float] = (0.2, 1.0),
+    ratio: Tuple[float, float] = (3 / 4, 4 / 3),
+    blur_sigma: Tuple[float, float] = (0.1, 2.0),
+    blur_radius: int = 3,
+) -> jnp.ndarray:
+    """The MoCo post-rotation view chain (crop -> blur -> hflip -> vflip)
+    composed into TWO batched matmuls per image axis, then the noise stage.
+
+    crop_impl="bank_fused": crop weights come from the integer-window bank
+    (same quantization contract as "bank"); the per-sample blur is its
+    Toeplitz matrix (exact linear map of the replicate-pad conv); the p=0.5
+    flips reverse the composed matrix's output rows/cols (exact
+    permutation). The per-axis composition A = flip(B_blur @ W_crop^T) is
+    one (out, in) matrix per sample, applied as img -> A_y img A_x^T —
+    so the whole tail is MXU work with no vmapped small kernels. RNG
+    stream: identical key tree and draw order as the per-stage chain
+    (ks[:, 1] crop window, ks[:, 2] blur (p, sigma), ks[:, 3] hflip,
+    ks[:, 4] vflip, ks[:, 5] noise)."""
+    b, h, w = rot.shape
+    hi = jax.lax.Precision.HIGHEST
+
+    # crop windows: same draws as every other impl
+    box = jax.vmap(lambda k: jnp.stack(_crop_window_box(
+        k, h, w, scale, ratio)))(ks[:, 1])
+    ch, y0, cw, x0 = box[:, 0], box[:, 1], box[:, 2], box[:, 3]
+    cmn_y, cmx_y = crop_ch_range(h, scale, ratio, w)
+    cmn_x, cmx_x = crop_ch_range(w, scale, ratio, h)
+    chi = jnp.clip(jnp.round(ch).astype(jnp.int32), cmn_y, cmx_y)
+    cwi = jnp.clip(jnp.round(cw).astype(jnp.int32), cmn_x, cmx_x)
+    y0i = jnp.clip(jnp.round(y0).astype(jnp.int32), 0, h - chi)
+    x0i = jnp.clip(jnp.round(x0).astype(jnp.int32), 0, w - cwi)
+    wy = _bank_axis_weights(h, out_size, method, chi, y0i, cmn_y, cmx_y)
+    wx = _bank_axis_weights(w, out_size, method, cwi, x0i, cmn_x, cmx_x)
+
+    # blur taps: gaussian_blur's exact draw order (kp, ksigma = split(key))
+    kp_ks = jax.vmap(lambda k: jnp.stack(jax.random.split(k)))(ks[:, 2])
+    apply_blur = jax.vmap(jax.random.uniform)(kp_ks[:, 0]) < 0.5
+    sigma = jax.vmap(lambda k: jax.random.uniform(
+        k, minval=blur_sigma[0], maxval=blur_sigma[1]))(kp_ks[:, 1])
+    taps = jax.vmap(lambda s: _gaussian_kernel_1d(s, blur_radius))(sigma)
+    delta = jnp.zeros((2 * blur_radius + 1,),
+                      jnp.float32).at[blur_radius].set(1.0)
+    taps = jnp.where(apply_blur[:, None], taps, delta[None, :])  # p-gate
+    basis = _blur_basis(out_size, blur_radius)
+    blur_m = jnp.einsum("bt,tij->bij", taps, basis, precision=hi)
+
+    # compose per-axis: A = blur @ crop^T, then flips reverse output axes
+    a_y = jnp.einsum("bij,bpj->bip", blur_m, wy, precision=hi)  # (B,out,h)
+    a_x = jnp.einsum("bij,bpj->bip", blur_m, wx, precision=hi)  # (B,out,w)
+    flip_h = jax.vmap(jax.random.uniform)(ks[:, 3]) < 0.5  # x axis
+    flip_v = jax.vmap(jax.random.uniform)(ks[:, 4]) < 0.5  # y axis
+    a_y = jnp.where(flip_v[:, None, None], a_y[:, ::-1, :], a_y)
+    a_x = jnp.where(flip_h[:, None, None], a_x[:, ::-1, :], a_x)
+
+    # apply: two batched image-side matmuls
+    t = jnp.einsum("bih,bhw->biw", a_y, rot.astype(jnp.float32), precision=hi)
+    img = jnp.einsum("biw,bjw->bij", t, a_x, precision=hi)
+
+    return jax.vmap(lambda k, im: gaussian_noise_max10(k, im, p=0.5))(
+        ks[:, 5], img)
+
+
 def bank_crop_batch(
     imgs: jnp.ndarray,
     box: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray],
@@ -275,6 +365,9 @@ def random_resized_crop(
     """
     h, w = img.shape[0], img.shape[1]
     impl = impl or CROP_IMPL
+    if impl == "bank_fused":
+        impl = "bank"  # the fusion exists only at the batch level
+        # (moco_view_aug_batch); the crop itself is the bank crop
     if impl == "bank":
         box = _crop_window_box(key, h, w, scale, ratio)
         img3 = img[None] if img.ndim == 2 else jnp.moveaxis(img, -1, 0)
@@ -850,6 +943,14 @@ def moco_view_aug_batch(
     keys = jax.random.split(key, batch.shape[0])
     ks = jax.vmap(lambda k: jax.random.split(k, 6))(keys)     # (B, 6) keys
     rot = batch_rotate_nearest(ks[:, 0], batch, 180.0, p=0.5)
+    if (crop_impl or CROP_IMPL) == "bank_fused":
+        # Full matmul tail: crop+blur+flips composed into two batched
+        # matmuls per axis (moco_view_tail_matmul), noise after. Same key
+        # tree and window/blur/flip draws as the per-stage chain; blur is
+        # the exact Toeplitz of the replicate-pad conv (fp round-off),
+        # crop carries the bank quantization contract.
+        return moco_view_tail_matmul(ks, rot, out_size,
+                                     method=crop_method or CROP_METHOD)
     if (crop_impl or CROP_IMPL) == "bank":
         # Batch-hoisted bank crop: window draws from the SAME key tree
         # (ks[:, 1]) and window math (_crop_window_box), weights fetched

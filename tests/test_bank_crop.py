@@ -149,3 +149,41 @@ def test_moco_view_aug_batch_bank(rng):
     want = vmap_aug(moco_view_aug, key, imgs, 48, None, None, "bank")
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-5, rtol=0)
+
+
+def test_bank_fused_matches_per_stage_chain(rng):
+    """crop_impl='bank_fused' (crop+blur+flips as two matmuls per axis)
+    == the per-stage chain with the bank crop, to fp32 summation-order
+    round-off: same window/blur/flip/noise draws, blur's Toeplitz is the
+    exact linear map of the replicate-pad conv, flips are exact row/col
+    reversals of the composed matrices."""
+    imgs = jnp.asarray(rng.normal(size=(6, 64, 64)).astype(np.float32))
+    key = jax.random.key(9)
+    fused = moco_view_aug_batch(key, imgs, 48, crop_impl="bank_fused")
+    staged = moco_view_aug_batch(key, imgs, 48, crop_impl="bank")
+    assert fused.shape == staged.shape == (6, 48, 48)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(staged),
+                               atol=2e-5, rtol=0)
+
+
+def test_blur_toeplitz_exact(rng):
+    """The blur basis matmul reproduces gaussian_blur's conv exactly
+    (same sigma, gate forced on) to fp round-off, including the
+    replicate-pad edges."""
+    from cmx.ops.augment import _blur_basis, _gaussian_kernel_1d, gaussian_blur
+
+    img = jnp.asarray(rng.normal(size=(32, 32)).astype(np.float32))
+    key = jax.random.key(4)
+    want = gaussian_blur(key, img, p=1.1)  # gate always fires
+    kp, ksig = jax.random.split(key)
+    sigma = jax.random.uniform(ksig, minval=0.1, maxval=2.0)
+    taps = _gaussian_kernel_1d(sigma, 3)
+    basis = _blur_basis(32, 3)
+    bm = jnp.einsum("t,tij->ij", taps, basis,
+                    precision=jax.lax.Precision.HIGHEST)
+    got = jnp.einsum("ih,hw->iw", bm, img,
+                     precision=jax.lax.Precision.HIGHEST)
+    got = jnp.einsum("iw,jw->ij", got, bm,
+                     precision=jax.lax.Precision.HIGHEST)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-6, rtol=0)

@@ -462,7 +462,7 @@ def view3_ab():
         return vq, vk
 
     ref = jax.jit(partial(two_views, ci="scale_translate"))(key, imgs)
-    for ci in ("scale_translate", "einsum", "pallas", "bank"):
+    for ci in ("scale_translate", "einsum", "pallas", "bank", "bank_fused"):
         f = jax.jit(partial(two_views, ci=ci))
         ms = _time(f, key, imgs) * 1e3
         vq, vk = f(key, imgs)
