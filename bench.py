@@ -81,9 +81,17 @@ def bench_all(out_path: str = "BENCH_ALL.json"):
     imgs = jnp.asarray(rng.normal(size=(BATCH, SIZE, SIZE)).astype(np.float32))
     results = {}
 
-    for name in ("spark", "moco", "mae", "genesis", "cmunet"):
+    for name in ("spark", "moco", "moco_fast", "mae", "genesis", "cmunet"):
         cfg = Config()
-        cfg.task.name = name
+        if name == "moco_fast":
+            # the TPU-fast MoCo view pipeline (presets.moco_fast_preset):
+            # shear3 rotation + bank_fused matmul tail, both
+            # transfer-equivalence-tested (RESULTS round 3)
+            cfg.task.name = "moco"
+            cfg.task.rotation_method = "shear3"
+            cfg.task.crop_impl = "bank_fused"
+        else:
+            cfg.task.name = name
         cfg.data.image_size = SIZE
         task, model, init_fn, extra_fn = build_task(cfg, jnp.bfloat16)
         k = jax.random.key(0)

@@ -70,6 +70,28 @@ def moco_preset(cfg: Config | None = None) -> Config:
     return cfg
 
 
+def moco_fast_preset(cfg: Config | None = None) -> Config:
+    """MoCo v2, TPU-fast view pipeline — a deliberate perf deviation set,
+    each member transfer-equivalence-tested on the 79/1-analog:
+
+    * rotation_method="shear3": rot90 + three statically-unrolled integer
+      shears instead of the exact nearest gather (per-pixel index-rounding
+      deviation only; equivalence run artifacts/r2/moco_shear3 — Dice
+      0.5113 vs the same-protocol exact-rotation comparator 0.4875,
+      inside the split's seed-noise band).
+    * crop_impl="bank_fused": integer crop windows (torchvision's own
+      get_params quantization) with weights from per-extent banks, and
+      crop+blur+flips composed into two batched matmuls per axis
+      (equivalence run artifacts/r3/moco_bank).
+
+    The plain `moco` preset stays reference-faithful; this one is the
+    production serving/pretraining recommendation on TPU."""
+    cfg = moco_preset(cfg)
+    cfg.task.rotation_method = "shear3"
+    cfg.task.crop_impl = "bank_fused"
+    return cfg
+
+
 def spark_preset(cfg: Config | None = None) -> Config:
     """SparK (Spark/utils/arg_util.py:16-93): LAMB, base lr 2e-4 x bs/256,
     wd .04 -> .2 cosine, mask .6, bs 128, 1600 ep, warmup 40, clip 5,
@@ -115,6 +137,7 @@ PRESETS = {
     "mae": mae_preset,
     "mae_tuned": mae_tuned_preset,
     "moco": moco_preset,
+    "moco_fast": moco_fast_preset,
     "spark": spark_preset,
     "cmunet": cmunet_preset,
 }

@@ -934,15 +934,21 @@ def moco_view_aug_batch(
 
     Bit-identical to the vmapped path (same per-image key tree:
     `split(key, B)` then `split(k_i, 6)`; regression-tested) and ~16%
-    faster on the rotation stage on v5e. Non-"nearest" rotation methods
-    fall back to the plain vmapped pipeline."""
+    faster on the rotation stage on v5e. rotation_method="shear3" runs the
+    gather-free vmapped shear rotation (same key tree; the unrolled shears
+    are already whole-batch-efficient under vmap); other non-"nearest"
+    methods fall back to the plain vmapped pipeline."""
     method = rotation_method or ROTATION_METHOD
-    if method != "nearest":
+    if method not in ("nearest", "shear3"):
         return vmap_aug(moco_view_aug, key, batch, out_size,
                         rotation_method, crop_method, crop_impl)
     keys = jax.random.split(key, batch.shape[0])
     ks = jax.vmap(lambda k: jax.random.split(k, 6))(keys)     # (B, 6) keys
-    rot = batch_rotate_nearest(ks[:, 0], batch, 180.0, p=0.5)
+    if method == "shear3":
+        rot = jax.vmap(lambda k, im: random_rotation(
+            k, im, 180.0, p=0.5, method="shear3"))(ks[:, 0], batch)
+    else:
+        rot = batch_rotate_nearest(ks[:, 0], batch, 180.0, p=0.5)
     if (crop_impl or CROP_IMPL) == "bank_fused":
         # Full matmul tail: crop+blur+flips composed into two batched
         # matmuls per axis (moco_view_tail_matmul), noise after. Same key

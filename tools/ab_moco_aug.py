@@ -455,21 +455,26 @@ def view3_ab():
     imgs = _batch()
     key = jax.random.key(0)
 
-    def two_views(k, b, ci):
+    def two_views(k, b, ci, rm=None):
         kq, kk = jax.random.split(k)
-        vq = A.moco_view_aug_batch(kq, b, VIEW, crop_impl=ci)
-        vk = A.moco_view_aug_batch(kk, b, VIEW, crop_impl=ci)
+        vq = A.moco_view_aug_batch(kq, b, VIEW, rotation_method=rm,
+                                   crop_impl=ci)
+        vk = A.moco_view_aug_batch(kk, b, VIEW, rotation_method=rm,
+                                   crop_impl=ci)
         return vq, vk
 
     ref = jax.jit(partial(two_views, ci="scale_translate"))(key, imgs)
-    for ci in ("scale_translate", "einsum", "pallas", "bank", "bank_fused"):
-        f = jax.jit(partial(two_views, ci=ci))
+    for ci, rm in (("scale_translate", None), ("einsum", None),
+                   ("pallas", None), ("bank", None), ("bank_fused", None),
+                   ("bank_fused", "shear3")):
+        f = jax.jit(partial(two_views, ci=ci, rm=rm))
         ms = _time(f, key, imgs) * 1e3
         vq, vk = f(key, imgs)
         diff = float(jnp.maximum(jnp.max(jnp.abs(vq - ref[0])),
                                  jnp.max(jnp.abs(vk - ref[1]))))
         proj = 131.8 + ms
-        print(json.dumps({"views": ci, "ms_per_batch": round(ms, 2),
+        tag = ci if rm is None else f"{ci}+{rm} (moco_fast)"
+        print(json.dumps({"views": tag, "ms_per_batch": round(ms, 2),
                           "max_abs_diff_vs_scale_translate": round(diff, 6),
                           "projected_step_ms": round(proj, 1),
                           "projected_img_s": round(BATCH / proj * 1e3, 1)}))
