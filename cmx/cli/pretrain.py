@@ -39,7 +39,14 @@ def build_task(cfg: Config, dtype):
 
         model = UNet(out_classes=1, dtype=dtype, fused=cfg.model.fused_conv,
                      remat_levels=remat)
-        task, _ = make_genesis_task(model)
+        task, _ = make_genesis_task(
+            model,
+            flip_rate=t.genesis_flip_rate,
+            local_rate=t.genesis_local_rate,
+            nonlinear_rate=t.genesis_nonlinear_rate,
+            paint_rate=t.genesis_paint_rate,
+            inpaint_rate=t.genesis_inpaint_rate,
+        )
         init = lambda key, x: model.init(key, x[:1])
         extra = None
     elif t.name == "mae":

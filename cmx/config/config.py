@@ -138,6 +138,16 @@ class TaskConfig:
     # SparK: fused Pallas loss tail (cmx.ops.pallas_ops); A/B'd on TPU in
     # RESULTS.md round 2. Interpret-mode on CPU, compiled on TPU.
     pallas_loss: bool = False
+    # Genesis distortion rates (Transformation_based/config.py:24-31
+    # defaults). Exposed for the round-3 objective-composition ablation:
+    # on the hard-synthetic corpus ~77% of the chain's MSE mass is the
+    # global Bezier intensity remap (tools/probe_genesis_difficulty.py),
+    # which is invertible per-image with zero shape knowledge.
+    genesis_flip_rate: float = 0.4
+    genesis_local_rate: float = 0.5
+    genesis_nonlinear_rate: float = 0.9
+    genesis_paint_rate: float = 0.9
+    genesis_inpaint_rate: float = 0.2
     # MAE ablations (VERDICT round-1 item 3): loss on masked patches only
     # (standard MAE objective) vs the reference's full-image MSE
     # (Genesis_Chest_CT.py:122-125); shared_mask restores the reference's
