@@ -170,27 +170,35 @@ def _crop_weight_bank(
     steps as a jit constant."""
     key = (in_size, out_size, method, ch_min, ch_max)
     if key not in _BANK_CACHE:
+        # Built EAGERLY in numpy on host: _crop_weight_bank is reached from
+        # inside jit traces (moco_view_aug_batch), and a device computation
+        # here would cache a TRACER from the enclosing trace (measured:
+        # UnexpectedTracerError on the second jit using the cache). The
+        # concrete array becomes a jit constant for every caller.
         pad = _BANK_PAD
-        pos = jnp.arange(in_size + 2 * pad, dtype=jnp.float32) - pad
-
-        def level(ch):
-            inv = ch / out_size
-            kernel_scale = jnp.maximum(inv, 1.0)  # antialias on downscale
-            sample_f = (jnp.arange(out_size, dtype=jnp.float32) + 0.5) * inv - 0.5
-            x = jnp.abs(sample_f[None, :] - pos[:, None]) / kernel_scale
-            if method in ("linear", "triangle", "bilinear"):
-                w = jnp.maximum(0.0, 1.0 - x)
-            elif method in ("cubic", "bicubic"):
-                w = _keys_cubic_kernel(x)
-            else:
-                raise ValueError(f"unsupported resize method {method!r}")
-            inside = (pos[:, None] >= 0.0) & (pos[:, None] <= ch - 1.0)
-            w = jnp.where(inside, w, 0.0)
-            total = jnp.sum(w, axis=0, keepdims=True)
-            return w / jnp.where(total > 0, total, 1.0)
-
-        chs = jnp.arange(ch_min, ch_max + 1, dtype=jnp.float32)
-        _BANK_CACHE[key] = jax.jit(jax.vmap(level))(chs)
+        pos = (np.arange(in_size + 2 * pad, dtype=np.float32) - pad)[None, :, None]
+        chs = np.arange(ch_min, ch_max + 1, dtype=np.float32)[:, None, None]
+        inv = chs / out_size
+        kernel_scale = np.maximum(inv, 1.0)  # antialias on downscale
+        sample_f = ((np.arange(out_size, dtype=np.float32)[None, None, :] + 0.5)
+                    * inv - 0.5)
+        x = np.abs(sample_f - pos) / kernel_scale  # (L, P, out)
+        if method in ("linear", "triangle", "bilinear"):
+            w = np.maximum(0.0, 1.0 - x)
+        elif method in ("cubic", "bicubic"):
+            xx = x
+            w = ((1.5 * xx - 2.5) * xx) * xx + 1.0
+            w = np.where(xx >= 1.0, ((-0.5 * xx + 2.5) * xx - 4.0) * xx + 2.0, w)
+            w = np.where(xx >= 2.0, 0.0, w)
+        else:
+            raise ValueError(f"unsupported resize method {method!r}")
+        inside = (pos >= 0.0) & (pos <= chs - 1.0)
+        w = np.where(inside, w, 0.0).astype(np.float32)
+        total = np.sum(w, axis=1, keepdims=True)
+        w = w / np.where(total > 0, total, 1.0)
+        # cache the NUMPY array: any jnp conversion executed inside a jit
+        # trace yields a tracer, and caching that leaks it into later traces
+        _BANK_CACHE[key] = w
     return _BANK_CACHE[key]
 
 

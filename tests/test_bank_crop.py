@@ -187,3 +187,17 @@ def test_blur_toeplitz_exact(rng):
                      precision=jax.lax.Precision.HIGHEST)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=2e-6, rtol=0)
+
+
+def test_bank_cache_shared_across_jits(rng):
+    """Regression: the weight bank is cached as a host numpy constant.
+    An earlier version built it with jnp inside the first enclosing jit
+    trace and cached the TRACER — the second jit using the cache failed
+    with UnexpectedTracerError (found by the round-3 view A/B)."""
+    imgs = jnp.asarray(rng.normal(size=(2, 64, 64)).astype(np.float32))
+    f1 = jax.jit(lambda k, b: moco_view_aug_batch(k, b, 48, crop_impl="bank"))
+    f2 = jax.jit(lambda k, b: moco_view_aug_batch(k, b, 48,
+                                                  crop_impl="bank_fused"))
+    a = f1(jax.random.key(0), imgs)
+    b = f2(jax.random.key(0), imgs)
+    assert bool(jnp.all(jnp.isfinite(a))) and bool(jnp.all(jnp.isfinite(b)))
