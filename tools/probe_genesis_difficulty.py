@@ -22,7 +22,13 @@ Compare the printed numbers with the trained run's converged val MSE
 (runs/*/pretrain_genesis.log) to read off how much of the objective a
 local operator already solves.
 
-Usage: python tools/probe_genesis_difficulty.py [data_dir] [n]
+With a trained model (`--model runs/.../ckpt/genesis/model.npz`) the probe
+also evaluates the 31M UNet itself per distortion family — showing where
+its capacity went: if it nearly zeroes the nonlinear-only MSE but barely
+beats the identity on paint-only, the learned solution is tone-curve
+inversion, not shape completion.
+
+Usage: python tools/probe_genesis_difficulty.py [data_dir] [n] [--model p]
 """
 
 import json
@@ -61,8 +67,13 @@ def _gauss(x, sigma, radius=3):
 
 
 def main():
-    data_dir = sys.argv[1] if len(sys.argv) > 1 else "runs/hard400"
-    n = int(sys.argv[2]) if len(sys.argv) > 2 else 64
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    model_path = None
+    if "--model" in sys.argv:
+        model_path = sys.argv[sys.argv.index("--model") + 1]
+        args = [a for a in args if a != model_path]
+    data_dir = args[0] if args else "runs/hard400"
+    n = int(args[1]) if len(args) > 1 else 64
 
     from cmx.data.corpus import load_corpus
     from cmx.data.splits import list_corpus, make_splits
@@ -73,21 +84,37 @@ def main():
     imgs, _ = load_corpus(splits.pretrain_x[:n], None, size=256)
     imgs = jnp.asarray(imgs)
 
+    model_fwd = None
+    if model_path:
+        from cmx.ckpt.checkpoint import load_model_npz
+        from cmx.models.unet import UNet
+
+        model = UNet(out_classes=1, dtype=jnp.float32,
+                     use_running_average=True)
+        init = model.init(jax.random.key(0), imgs[:1])
+        params, bs = load_model_npz(model_path, init["params"],
+                                    init["batch_stats"])
+        variables = {"params": params, "batch_stats": bs}
+        model_fwd = jax.jit(lambda v, x: model.apply(v, x)[..., 0])
+
     key = jax.random.key(0)
     x, y = genesis_batch(key, imgs)
 
     def mse(a, b):
         return float(jnp.mean((a - b) ** 2))
 
-    report = {
-        "corpus": data_dir, "n": int(imgs.shape[0]),
-        "full_chain": {
-            "identity": round(mse(x, y), 4),
-            "gauss_s1": round(mse(_gauss(x, 1.0), y), 4),
-            "gauss_s2": round(mse(_gauss(x, 2.0), y), 4),
-            "mean5": round(mse(_mean_filter(x, 5), y), 4),
-        },
-    }
+    def row(xd, yd):
+        r = {
+            "identity": round(mse(xd, yd), 4),
+            "gauss_s1": round(mse(_gauss(xd, 1.0), yd), 4),
+            "mean5": round(mse(_mean_filter(xd, 5), yd), 4),
+        }
+        if model_fwd is not None:
+            r["trained_model"] = round(mse(model_fwd(variables, xd), yd), 4)
+        return r
+
+    report = {"corpus": data_dir, "n": int(imgs.shape[0]),
+              "model": model_path, "full_chain": row(x, y)}
     # per-distortion identity MSE: which distortion carries the objective
     for tag, rates in (
         ("shuffle_only", dict(flip_rate=0.0, local_rate=1.0,
@@ -98,11 +125,7 @@ def main():
                             nonlinear_rate=0.0, paint_rate=1.0)),
     ):
         xd, yd = genesis_batch(jax.random.key(1), imgs, **rates)
-        report[tag] = {
-            "identity": round(mse(xd, yd), 4),
-            "gauss_s1": round(mse(_gauss(xd, 1.0), yd), 4),
-            "mean5": round(mse(_mean_filter(xd, 5), yd), 4),
-        }
+        report[tag] = row(xd, yd)
     print(json.dumps(report, indent=2))
 
 
