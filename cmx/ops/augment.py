@@ -244,7 +244,9 @@ def _blur_basis(n: int, radius: int) -> jnp.ndarray:
         ti = np.broadcast_to(t, j.shape)
         ii = np.broadcast_to(i, j.shape)
         np.add.at(basis, (ti.ravel(), ii.ravel(), j.ravel()), 1.0)
-        _BLUR_BASIS_CACHE[key] = jnp.asarray(basis)
+        # cache NUMPY: a jnp conversion inside an enclosing jit trace would
+        # cache a tracer and break the next jit (same bug as _BANK_CACHE)
+        _BLUR_BASIS_CACHE[key] = basis
     return _BLUR_BASIS_CACHE[key]
 
 

@@ -200,4 +200,10 @@ def test_bank_cache_shared_across_jits(rng):
                                                   crop_impl="bank_fused"))
     a = f1(jax.random.key(0), imgs)
     b = f2(jax.random.key(0), imgs)
-    assert bool(jnp.all(jnp.isfinite(a))) and bool(jnp.all(jnp.isfinite(b)))
+    # third jit reuses the BLUR basis cache created inside f2's trace —
+    # the second instance of the same leak (found by ab-view4 attempt 2)
+    f3 = jax.jit(lambda k, b: moco_view_aug_batch(
+        k, b, 48, rotation_method="shear3", crop_impl="bank_fused"))
+    c = f3(jax.random.key(0), imgs)
+    assert (bool(jnp.all(jnp.isfinite(a))) and bool(jnp.all(jnp.isfinite(b)))
+            and bool(jnp.all(jnp.isfinite(c))))
