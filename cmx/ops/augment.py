@@ -502,6 +502,47 @@ def _shear_rows_unroll(
     return out
 
 
+def _shear_rows_unroll_radix(
+    img: jnp.ndarray, shifts: jnp.ndarray, max_shift: int, radix: int = 8
+) -> jnp.ndarray:
+    """_shear_rows_unroll in two radix stages: shifts = radix*q + f.
+
+    Stage 1 applies the fine shift f in [0, radix) on a zero-extended
+    intermediate wide enough for every coarse step; stage 2 applies the
+    coarse shift radix*q. Integer zero-fill shifts compose exactly
+    (img_z[j + rq + f] == img_z[j + s]), so the result is BIT-IDENTICAL
+    to _shear_rows_unroll while doing ~(radix + 2m/radix) masked adds
+    instead of 2m+1 — e.g. 8 + 14 vs 107 passes at m=53 (the x-shear of a
+    256² rotation). Same exact-0/1-mask argument as _shear_rows_unroll:
+    at most one non-zero product per output, fp32-exact on TPU."""
+    h, w = img.shape
+    m = int(max_shift)
+    r = int(radix)
+    if 2 * m + 1 <= r + 3:  # small bound: single-stage is already cheaper
+        return _shear_rows_unroll(img, shifts, m)
+    nq = (m + r - 1) // r
+    K = nq * r
+    f = jnp.mod(shifts, r).astype(shifts.dtype)
+    q = ((shifts - f) // r).astype(shifts.dtype)  # in [-nq, m // r]
+    pad = jnp.pad(img, ((0, 0), (K, K + r)))  # pad[i, a] = img_z[i, a - K]
+    oh_f = (f[:, None] == jnp.arange(r, dtype=shifts.dtype)[None, :]
+            ).astype(img.dtype)
+    t = jnp.zeros((h, w + 2 * K), img.dtype)
+    for d in range(r):
+        t = t + oh_f[:, d:d + 1] * jax.lax.slice_in_dim(
+            pad, d, d + w + 2 * K, axis=1)
+    # t[i, k] = img_z[i, k - K + f_i] for k in [0, w + 2K)
+    oh_q = (q[:, None]
+            == (jnp.arange(2 * nq + 1, dtype=shifts.dtype) - nq)[None, :]
+            ).astype(img.dtype)
+    out = jnp.zeros_like(img)
+    for iq, qv in enumerate(range(-nq, nq + 1)):
+        start = K + r * qv
+        out = out + oh_q[:, iq:iq + 1] * jax.lax.slice_in_dim(
+            t, start, start + w, axis=1)
+    return out
+
+
 def _shear_rows_conv(
     img: jnp.ndarray, shifts: jnp.ndarray, max_shift: int
 ) -> jnp.ndarray:
@@ -569,9 +610,11 @@ def _rotate_shear3(img: jnp.ndarray, angle: jnp.ndarray) -> jnp.ndarray:
     # phi in [-pi/4, pi/4]; +1 covers the 0.5 rounding headroom.
     mx = int(math.tan(math.pi / 8) * (h - 1) / 2 + 0.5) + 1
     my = int(math.sin(math.pi / 4) * (w - 1) / 2 + 0.5) + 1
-    img = _shear_rows_unroll(img, sx, mx)
-    img = _shear_rows_unroll(img.T, sy, my).T
-    img = _shear_rows_unroll(img, sx, mx)
+    # radix two-stage unroll: bit-identical to the single-stage unroll
+    # (tests/test_ops.py) with ~4-5x fewer masked adds per shear
+    img = _shear_rows_unroll_radix(img, sx, mx)
+    img = _shear_rows_unroll_radix(img.T, sy, my).T
+    img = _shear_rows_unroll_radix(img, sx, mx)
     return img.astype(jnp.float32)
 
 

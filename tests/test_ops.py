@@ -363,3 +363,21 @@ def test_downscale_random_and_albumentations_noise(rng):
     resid = np.asarray(noisy - img)
     # sigma in [sqrt(10), sqrt(50)] ~ [3.16, 7.07]
     assert 2.5 < resid.std() < 8.0, resid.std()
+
+
+def test_shear_rows_unroll_radix_bitexact(rng):
+    """The two-stage radix unroll is BIT-identical to the single-stage
+    unroll (and hence to the dynamic-slice spec) for every shift in range,
+    including the extremes and mixed signs across rows."""
+    import jax.numpy as jnp
+    from cmx.ops.augment import _shear_rows_unroll, _shear_rows_unroll_radix
+
+    img = jnp.asarray(rng.normal(size=(64, 64)).astype(np.float32))
+    for m in (3, 5, 11, 29, 53):
+        shifts = jnp.asarray(
+            rng.integers(-m, m + 1, size=(64,)).astype(np.int32))
+        # force the extremes to appear
+        shifts = shifts.at[0].set(-m).at[1].set(m).at[2].set(0)
+        a = _shear_rows_unroll(img, shifts, m)
+        b = _shear_rows_unroll_radix(img, shifts, m)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b)), m
