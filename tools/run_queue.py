@@ -151,6 +151,10 @@ def main():
         jobs = json.load(f)
     names = [j["name"] for j in jobs]
     assert len(set(names)) == len(names), "duplicate job names in manifest"
+    for j in jobs:
+        assert j.get("artifacts"), (
+            f"job {j['name']!r} has no artifacts — it would re-run on every "
+            "queue pass; give it a stamp file (post: touch ...)")
     if args.only:
         keep = set(args.only.split(","))
         unknown = keep - set(names)
