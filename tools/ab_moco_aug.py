@@ -43,7 +43,14 @@ VIEW = 224
 
 
 def _sync(x):
-    float(np.asarray(jax.device_get(x)).ravel()[0])
+    # Sync by transferring ONE scalar, reduced on device. A full
+    # jax.device_get(x) here transfers the whole output through the axon
+    # tunnel (measured ~1 MB/s cold: 50 s for a 25.7 MB view batch!) and
+    # systematically inflated every ms/batch this tool printed before
+    # round 3 — orderings within a run were unaffected (same constant),
+    # but absolutes were transfer-dominated. See RESULTS round 3
+    # "measurement artifact" note.
+    float(jnp.ravel(x)[0])
 
 
 def _time(fn, *args, n=12, warmup=4, repeats=3):
