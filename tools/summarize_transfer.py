@@ -109,7 +109,7 @@ def scan_cells(root="runs/transfer_r2"):
     # later roots supersede earlier ones: artifacts/r3 recaptures (shipped
     # defaults) replace the r2 capture of the same cell; a live runs/
     # column replaces its harvest copy.
-    for scan_root in ("artifacts/r2", "artifacts/r3", root):
+    for scan_root in ("artifacts/r2", "artifacts/r3", "artifacts/r4", root):
         for d in sorted(glob.glob(os.path.join(scan_root, "*ft*"))):
             m = pat.match(os.path.basename(d))
             if not os.path.isdir(d) or not m or m.group(2) not in FT_RATIO:
