@@ -144,17 +144,35 @@ def write_corpus(
 ) -> None:
     """Write a synthetic corpus in the reference's dataset/ layout.
 
-    hard=True uses the transfer-experiment generator (make_sample_hard)."""
+    hard=True uses the transfer-experiment generator (make_sample_hard).
+    Generation is ATOMIC at the imgs/-and-masks/ level: samples are
+    written into <data_dir>/.gen-tmp first and the two subdirs renamed
+    into place at the end — an interrupted generation (timeout, kill, the
+    round-3 double-queue race) can never leave a partial corpus that
+    resolve_corpus's existence check would accept."""
     rng = np.random.default_rng(seed)
-    img_dir = os.path.join(data_dir, "imgs")
-    msk_dir = os.path.join(data_dir, "masks")
-    os.makedirs(img_dir, exist_ok=True)
-    os.makedirs(msk_dir, exist_ok=True)
+    tmp = os.path.join(data_dir, ".gen-tmp")
+    img_tmp = os.path.join(tmp, "imgs")
+    msk_tmp = os.path.join(tmp, "masks")
+    if os.path.isdir(tmp):  # leftover from an interrupted run
+        import shutil
+
+        shutil.rmtree(tmp)
+    os.makedirs(img_tmp)
+    os.makedirs(msk_tmp)
     gen = make_sample_hard if hard else make_sample
     for i in range(n):
         img, msk = gen(rng, size)
-        np.save(os.path.join(img_dir, f"sample_{i:04d}.npy"), img)
-        np.save(os.path.join(msk_dir, f"sample_{i:04d}.npy"), msk)
+        np.save(os.path.join(img_tmp, f"sample_{i:04d}.npy"), img)
+        np.save(os.path.join(msk_tmp, f"sample_{i:04d}.npy"), msk)
+    import shutil
+
+    for sub, tmp_sub in (("imgs", img_tmp), ("masks", msk_tmp)):
+        final = os.path.join(data_dir, sub)
+        if os.path.isdir(final):  # explicit regeneration: replace wholesale
+            shutil.rmtree(final)
+        os.rename(tmp_sub, final)
+    os.rmdir(tmp)
 
 
 def resolve_corpus(data_cfg) -> str:

@@ -170,3 +170,23 @@ def test_resolve_corpus_seed_axis(tmp_path, monkeypatch):
     t0 = os.path.getmtime(os.path.join(d1, "imgs", "sample_0000.npy"))
     resolve_corpus(cfg.data)
     assert os.path.getmtime(os.path.join(d1, "imgs", "sample_0000.npy")) == t0
+
+
+def test_concurrent_queue_lock(tmp_path):
+    """A second queue on the same manifest exits immediately with the lock
+    message instead of racing (round-3 incident: two instances double-
+    booked the TPU and one read a half-generated corpus)."""
+    import subprocess as sp
+    art = tmp_path / "slow.out"
+    jobs = [{"name": "slow", "artifacts": [str(art)],
+             "cmd": f"sleep 3 && echo ok > {art}"}]
+    m = tmp_path / "m.json"
+    write_manifest(m, jobs)
+    p1 = sp.Popen([sys.executable, TOOL, str(m)], stdout=sp.PIPE, text=True)
+    import time
+    time.sleep(1.0)
+    r2 = run_queue(m)
+    assert r2.returncode == 1
+    assert "lock held" in r2.stdout
+    assert p1.wait(timeout=30) == 0
+    assert art.read_text().strip() == "ok"

@@ -147,6 +147,20 @@ def main():
                     help="max TPU probes per wait (~2 min each; default 30)")
     args = ap.parse_args()
 
+    # One queue per manifest: two concurrent instances race on corpus
+    # generation and double-book the TPU (observed round 3 — a backgrounded
+    # compound launched a second copy; a finetune then read a half-written
+    # corpus). flock is held for the process lifetime.
+    import fcntl
+
+    lock = open(args.manifest + ".lock", "w")
+    try:
+        fcntl.flock(lock, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    except BlockingIOError:
+        print(f"[queue] another queue already runs {args.manifest} "
+              "(lock held); exiting", flush=True)
+        return 1
+
     with open(args.manifest) as f:
         jobs = json.load(f)
     names = [j["name"] for j in jobs]
