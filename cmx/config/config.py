@@ -138,7 +138,7 @@ class TaskConfig:
     # SparK: fused Pallas loss tail (cmx.ops.pallas_ops); A/B'd on TPU in
     # RESULTS.md round 2. Interpret-mode on CPU, compiled on TPU.
     pallas_loss: bool = False
-    # Genesis distortion rates (Transformation_based/config.py:24-31
+    # Genesis distortion rates (Transformation_based/config.py:35-40
     # defaults). Exposed for the round-3 objective-composition ablation:
     # on the hard-synthetic corpus ~77% of the chain's MSE mass is the
     # global Bezier intensity remap (tools/probe_genesis_difficulty.py),

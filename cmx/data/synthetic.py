@@ -10,6 +10,7 @@ learnable signal.
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Tuple
 
@@ -145,18 +146,19 @@ def write_corpus(
     """Write a synthetic corpus in the reference's dataset/ layout.
 
     hard=True uses the transfer-experiment generator (make_sample_hard).
-    Generation is ATOMIC at the imgs/-and-masks/ level: samples are
-    written into <data_dir>/.gen-tmp first and the two subdirs renamed
-    into place at the end — an interrupted generation (timeout, kill, the
-    round-3 double-queue race) can never leave a partial corpus that
-    resolve_corpus's existence check would accept."""
+    Generation is ATOMIC and CONCURRENT-SAFE (round-3 advisor): samples
+    are written into a per-process <data_dir>/.gen-<pid> (two concurrent
+    writers never rmtree each other's in-flight tmp), a meta.json records
+    the generation parameters, and the publish order is masks, meta, imgs
+    LAST — so the imgs/ directory existing (the resolve_corpus commit
+    check) implies the whole corpus is complete."""
+    import shutil
+
     rng = np.random.default_rng(seed)
-    tmp = os.path.join(data_dir, ".gen-tmp")
+    tmp = os.path.join(data_dir, f".gen-{os.getpid()}")
     img_tmp = os.path.join(tmp, "imgs")
     msk_tmp = os.path.join(tmp, "masks")
-    if os.path.isdir(tmp):  # leftover from an interrupted run
-        import shutil
-
+    if os.path.isdir(tmp):  # leftover from a previous run of THIS pid
         shutil.rmtree(tmp)
     os.makedirs(img_tmp)
     os.makedirs(msk_tmp)
@@ -165,14 +167,40 @@ def write_corpus(
         img, msk = gen(rng, size)
         np.save(os.path.join(img_tmp, f"sample_{i:04d}.npy"), img)
         np.save(os.path.join(msk_tmp, f"sample_{i:04d}.npy"), msk)
-    import shutil
-
-    for sub, tmp_sub in (("imgs", img_tmp), ("masks", msk_tmp)):
+    meta_tmp = os.path.join(tmp, "meta.json")
+    with open(meta_tmp, "w") as f:
+        json.dump({"n": n, "size": size, "seed": seed, "hard": hard}, f)
+    # publish: imgs/ LAST (it is the existence check other processes use)
+    for sub, tmp_sub in (("masks", msk_tmp), ("meta.json", meta_tmp),
+                         ("imgs", img_tmp)):
         final = os.path.join(data_dir, sub)
         if os.path.isdir(final):  # explicit regeneration: replace wholesale
             shutil.rmtree(final)
+        elif os.path.isfile(final):
+            os.remove(final)
         os.rename(tmp_sub, final)
     os.rmdir(tmp)
+
+
+def corpus_meta_mismatch(data_dir: str, data_cfg) -> str:
+    """Compare an existing corpus's meta.json against the resolved config.
+
+    Returns "" when compatible. A corpus without meta.json (pre-round-4
+    legacy, or hand-placed real data) is accepted as-is. A corpus whose
+    recorded (n, size, hard, seed) disagree with what the config would
+    generate is a silent-wrong-data hazard (round-3 advisor: a seed-0 easy
+    corpus left at the same path would silently serve a later hard-corpus
+    experiment) — the mismatch string names every differing field."""
+    path = os.path.join(data_dir, "meta.json")
+    if not os.path.isfile(path):
+        return ""
+    with open(path) as f:
+        meta = json.load(f)
+    want = {"n": data_cfg.synthetic_n, "size": data_cfg.image_size,
+            "seed": data_cfg.corpus_seed, "hard": data_cfg.synthetic_hard}
+    diffs = [f"{k}: corpus={meta.get(k)!r} config={v!r}"
+             for k, v in want.items() if k in meta and meta[k] != v]
+    return "; ".join(diffs)
 
 
 def resolve_corpus(data_cfg) -> str:
@@ -181,16 +209,26 @@ def resolve_corpus(data_cfg) -> str:
     The corpus-seed axis (round-2 VERDICT item 8): corpus_seed s>0 maps
     data_dir -> f"{data_dir}_s{s}" — the naming convention the round-2
     seed-replication experiments established by hand (runs/hard400_s1).
-    When the resolved directory has no imgs/ (or data_cfg.synthetic is set
-    and the dir is absent), the synthetic corpus is generated with that
-    seed. Generation is idempotent-by-absence: an existing corpus is never
-    overwritten. Returns the resolved directory path."""
+    When the resolved directory has no complete corpus (imgs/ AND masks/),
+    the synthetic corpus is generated with that seed. Generation is
+    idempotent-by-absence: an existing corpus is never overwritten, but a
+    meta.json recording different generation parameters fails loudly
+    instead of silently serving wrong data (round-3 advisor). Returns the
+    resolved directory path."""
     d = data_cfg.data_dir
     if data_cfg.corpus_seed:
         d = f"{d}_s{data_cfg.corpus_seed}"
-    if not os.path.isdir(os.path.join(d, "imgs")):
+    if not (os.path.isdir(os.path.join(d, "imgs"))
+            and os.path.isdir(os.path.join(d, "masks"))):
         write_corpus(d, n=data_cfg.synthetic_n, size=data_cfg.image_size,
                      seed=data_cfg.corpus_seed, hard=data_cfg.synthetic_hard)
+    else:
+        mismatch = corpus_meta_mismatch(d, data_cfg)
+        if mismatch:
+            raise RuntimeError(
+                f"corpus at {d} was generated with different parameters "
+                f"({mismatch}); point data.data_dir elsewhere or delete "
+                f"the stale corpus to regenerate")
     return d
 
 

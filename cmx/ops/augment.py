@@ -145,13 +145,28 @@ _BANK_CACHE: dict = {}
 
 def crop_ch_range(
     in_size: int, scale: Tuple[float, float], ratio: Tuple[float, float],
-    other_size: int | None = None,
+    other_size: int | None = None, axis: str = "h",
 ) -> Tuple[int, int]:
     """Integer range [ch_min, ch_max] one crop axis can take under the
-    torchvision area/aspect draw (used to size the weight bank)."""
+    torchvision area/aspect draw (used to size the weight bank).
+
+    The two axes have DIFFERENT ranges under an asymmetric aspect draw
+    (aspect = w/h in [ratio[0], ratio[1]], area = scale * H * W):
+      height ch = sqrt(area / aspect) in [sqrt(s0*A/r1), sqrt(s1*A/r0)]
+      width  cw = sqrt(area * aspect) in [sqrt(s0*A*r0), sqrt(s1*A*r1)]
+    They coincide only when r0*r1 == 1 (the symmetric 3/4..4/3 default) —
+    round-3 advisor finding: the height formula applied to the width axis
+    silently clips asymmetric-ratio crops into the wrong bank range."""
     other = other_size or in_size
-    lo = math.sqrt(scale[0] * in_size * other / ratio[1])
-    hi = math.sqrt(scale[1] * in_size * other / ratio[0])
+    area = in_size * other
+    if axis == "h":
+        lo = math.sqrt(scale[0] * area / ratio[1])
+        hi = math.sqrt(scale[1] * area / ratio[0])
+    elif axis == "w":
+        lo = math.sqrt(scale[0] * area * ratio[0])
+        hi = math.sqrt(scale[1] * area * ratio[1])
+    else:
+        raise ValueError(f"axis must be 'h' or 'w', got {axis!r}")
     return max(1, int(math.floor(lo))), min(in_size, int(math.ceil(hi)))
 
 
@@ -278,8 +293,8 @@ def moco_view_tail_matmul(
     box = jax.vmap(lambda k: jnp.stack(_crop_window_box(
         k, h, w, scale, ratio)))(ks[:, 1])
     ch, y0, cw, x0 = box[:, 0], box[:, 1], box[:, 2], box[:, 3]
-    cmn_y, cmx_y = crop_ch_range(h, scale, ratio, w)
-    cmn_x, cmx_x = crop_ch_range(w, scale, ratio, h)
+    cmn_y, cmx_y = crop_ch_range(h, scale, ratio, w, axis="h")
+    cmn_x, cmx_x = crop_ch_range(w, scale, ratio, h, axis="w")
     chi = jnp.clip(jnp.round(ch).astype(jnp.int32), cmn_y, cmx_y)
     cwi = jnp.clip(jnp.round(cw).astype(jnp.int32), cmn_x, cmx_x)
     y0i = jnp.clip(jnp.round(y0).astype(jnp.int32), 0, h - chi)
@@ -336,8 +351,8 @@ def bank_crop_batch(
     (PARITY §2.5)."""
     b, h, w = imgs.shape
     ch, y0, cw, x0 = box
-    cmn_y, cmx_y = crop_ch_range(h, scale, ratio, w)
-    cmn_x, cmx_x = crop_ch_range(w, scale, ratio, h)
+    cmn_y, cmx_y = crop_ch_range(h, scale, ratio, w, axis="h")
+    cmn_x, cmx_x = crop_ch_range(w, scale, ratio, h, axis="w")
     chi = jnp.clip(jnp.round(ch).astype(jnp.int32), cmn_y, cmx_y)
     cwi = jnp.clip(jnp.round(cw).astype(jnp.int32), cmn_x, cmx_x)
     y0i = jnp.clip(jnp.round(y0).astype(jnp.int32), 0, h - chi)

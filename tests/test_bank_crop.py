@@ -88,6 +88,44 @@ def test_bank_rounding_and_range(rng):
     assert bool(jnp.all(jnp.isfinite(out)))
 
 
+def test_asymmetric_ratio_axis_ranges(rng):
+    """Round-3 advisor (medium): with an asymmetric aspect range the width
+    axis draws cw = sqrt(area*aspect), whose true range is
+    [sqrt(s0*A*r0), sqrt(s1*A*r1)] — NOT the height formula. The bank range
+    must cover every drawn window on both axes, and the bank crop must
+    still match the torch crop-then-resize oracle for a wide window only
+    reachable under the asymmetric range."""
+    h = w = 64
+    scale, ratio = (0.2, 1.0), (2.0, 3.0)  # r0*r1 != 1
+    lo_h, hi_h = crop_ch_range(h, scale, ratio, w, axis="h")
+    lo_w, hi_w = crop_ch_range(w, scale, ratio, h, axis="w")
+    keys = jax.random.split(jax.random.key(0), 512)
+    ch, y0, cw, x0 = jax.vmap(
+        lambda k: jnp.stack(_crop_window_box(k, h, w, scale, ratio)))(
+            keys).T
+    chi = np.round(np.asarray(ch)).astype(int)
+    cwi = np.round(np.asarray(cw)).astype(int)
+    assert chi.min() >= lo_h and chi.max() <= hi_h
+    assert cwi.min() >= lo_w and cwi.max() <= hi_w
+    # the width range reaches beyond the (wrong) height-formula range
+    wrong_hi = crop_ch_range(w, scale, ratio, h, axis="h")[1]
+    assert cwi.max() > wrong_hi
+    # oracle check on a wide window that the old formula would have clipped
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    img = rng.normal(size=(h, w)).astype(np.float32)
+    ci, yi, wi, xi = 24, 5, 60, 2
+    box = (jnp.array([float(ci)]), jnp.array([float(yi)]),
+           jnp.array([float(wi)]), jnp.array([float(xi)]))
+    got = bank_crop_batch(jnp.asarray(img)[None], box, 48, method="linear",
+                          scale=scale, ratio=ratio)[0]
+    win = torch.from_numpy(img[yi:yi + ci, xi:xi + wi])[None, None]
+    want = F.interpolate(win, size=(48, 48), mode="bilinear",
+                         antialias=True, align_corners=False)[0, 0].numpy()
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-4, rtol=0)
+
+
 def test_single_image_impl_matches_batch(rng):
     """random_resized_crop(impl="bank") on one image == the batched path
     with the same key (same _crop_window_box stream)."""

@@ -41,6 +41,17 @@ def test_cmunet_preset_values():
     assert cfg.task.ema_momentum == 0.996
 
 
+def test_genesis_tuned_preset_values():
+    # RESULTS.md round-3 "Genesis anomaly grounded": nonlinear remap off,
+    # every other knob the reference recipe; task resolves to genesis
+    cfg = PRESETS["genesis_tuned"]()
+    assert cfg.task.name == "genesis"
+    assert cfg.task.genesis_nonlinear_rate == 0.0
+    assert cfg.task.genesis_paint_rate == 0.9  # rest untouched
+    assert cfg.optim.name == "sgd" and cfg.optim.lr == 1e-2
+    assert cfg.train.patience == 50
+
+
 def test_mae_tuned_preset_values():
     # RESULTS.md round-5 ablation winner: ratio 0.75, task resolves to mae
     cfg = PRESETS["mae_tuned"]()

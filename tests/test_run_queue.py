@@ -172,6 +172,52 @@ def test_resolve_corpus_seed_axis(tmp_path, monkeypatch):
     assert os.path.getmtime(os.path.join(d1, "imgs", "sample_0000.npy")) == t0
 
 
+def test_corpus_meta_guard(tmp_path):
+    """Round-3 advisor: a corpus generated with different (n, size, hard,
+    seed) at the same path must fail loudly, not silently serve wrong
+    data; a meta-less legacy corpus is accepted as-is."""
+    import numpy as np
+    import pytest
+
+    from cmx.config.config import Config
+    from cmx.data.synthetic import resolve_corpus
+
+    cfg = Config()
+    cfg.data.data_dir = str(tmp_path / "corp")
+    cfg.data.synthetic_n = 4
+    cfg.data.image_size = 32
+    d = resolve_corpus(cfg.data)
+    assert os.path.isfile(os.path.join(d, "meta.json"))
+
+    # same config re-resolves fine
+    resolve_corpus(cfg.data)
+    # differing generation parameters fail loudly
+    cfg.data.synthetic_hard = True
+    with pytest.raises(RuntimeError, match="different parameters"):
+        resolve_corpus(cfg.data)
+    cfg.data.synthetic_hard = False
+    cfg.data.synthetic_n = 8
+    with pytest.raises(RuntimeError, match="different parameters"):
+        resolve_corpus(cfg.data)
+
+    # legacy corpus without meta.json: accepted unchanged
+    os.remove(os.path.join(d, "meta.json"))
+    assert resolve_corpus(cfg.data) == d
+
+    # a half-published corpus (imgs/ without masks/ cannot happen with the
+    # imgs-last publish order, but masks/ alone must trigger regeneration)
+    import shutil
+    d2 = str(tmp_path / "half")
+    cfg2 = Config()
+    cfg2.data.data_dir = d2
+    cfg2.data.synthetic_n = 4
+    cfg2.data.image_size = 32
+    resolve_corpus(cfg2.data)
+    shutil.rmtree(os.path.join(d2, "imgs"))
+    resolve_corpus(cfg2.data)  # regenerates
+    assert len(os.listdir(os.path.join(d2, "imgs"))) == 4
+
+
 def test_concurrent_queue_lock(tmp_path):
     """A second queue on the same manifest exits immediately with the lock
     message instead of racing (round-3 incident: two instances double-

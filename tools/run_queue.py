@@ -118,8 +118,18 @@ def run_job(job, tpu_tries: int) -> bool:
         if ok:
             post = job.get("post")
             if post:
-                pr = subprocess.run(["bash", "-c", post], cwd=REPO, env=_env())
-                if pr.returncode != 0:
+                # bounded like the main cmd (round-3 advisor: an unbounded
+                # post — a cp into a wedged mount, a post that launches a
+                # TPU job — would stall the whole queue indefinitely)
+                try:
+                    pr = subprocess.run(["bash", "-c", post], cwd=REPO,
+                                        env=_env(),
+                                        timeout=min(timeout, 600))
+                    post_ok = pr.returncode == 0
+                except subprocess.TimeoutExpired:
+                    post_ok = False
+                    print(f"[queue] {name}: post step timed out", flush=True)
+                if not post_ok:
                     print(f"[queue] {name}: post step failed", flush=True)
                     return False
             missing = [a for a in job.get("artifacts", [])
