@@ -193,17 +193,32 @@ def matrix(root="runs/transfer_r2"):
         d2 = sum((a - b) ** 2 for a, b in zip(rx, ry))
         return 1.0 - 6.0 * d2 / (n * (n * n - 1))
 
-    rhos = []
+    # n-gating (round-3 VERDICT weak #1): a single-seed column's 6-method
+    # ordering carries no weight — the round-3 fragility note measured a
+    # Spearman flip from +0.20 to -0.31 on one cell move. Print rho only
+    # for columns where every method has >=2 corpus seeds; n=1 columns are
+    # listed as suppressed rather than given equal typographic authority.
+    rhos, suppressed = [], []
     for ratio in ratios:
         col = [(cells.get((t, ratio)), REF[t].get(ratio)) for t in main_tags]
-        if all(c and r is not None for c, r in col):
-            rho = spearman([mean(list(c.values())) for c, _ in col],
-                           [r for _, r in col])
-            rhos.append((ratio, rho))
+        if not all(c and r is not None for c, r in col):
+            continue
+        n_min = min(len(c) for c, _ in col)
+        if n_min < 2:
+            suppressed.append(ratio)
+            continue
+        rho = spearman([mean(list(c.values())) for c, _ in col],
+                       [r for _, r in col])
+        rhos.append((ratio, rho, n_min))
     if rhos:
         print("\nmethod-ranking Spearman rho vs reference, per column "
-              "(n-seed means): "
-              + ", ".join(f"{SPLIT_NAME[r]}: {rho:+.2f}" for r, rho in rhos))
+              "(n-seed means, n>=2 columns only): "
+              + ", ".join(f"{SPLIT_NAME[r]}: {rho:+.2f} [n>={n}]"
+                          for r, rho, n in rhos))
+    if suppressed:
+        print("Spearman suppressed for n=1 columns (single-seed orderings "
+              "are noise — RESULTS round-3 fragility note): "
+              + ", ".join(SPLIT_NAME[r] for r in suppressed))
     if len(all_seeds) > 1:
         # n-seed agreement summary: which claims survive across seeds
         print("\nper-seed method order by column:")
@@ -253,6 +268,52 @@ def seed_column(seed1_dir="artifacts/r2/seed1_ft01",
               f"{rank(c).index('scratch') + 1}/{len(tags)}")
 
 
+def fixed_hyper_diagnostic(root="artifacts/r4/fixed_hyper"):
+    """Grid-vs-split seed-sensitivity diagnostic (round-3 VERDICT weak #6).
+
+    The 79/1 scratch cell moved 0.3927 -> 0.5164 -> 0.6201 across corpus
+    seeds — a 23-point swing. Was that the 4-image split itself, or the
+    lr-grid selection amplifying split noise? These cells re-run the 79/1
+    fine-tune with hypers FIXED at the modal grid winner (lr 1e-3, b4,
+    128 ep; the grid the reference sweeps at Finetuning/train.py:320-330)
+    so any remaining spread is attributable to the split alone."""
+    runs = {}
+    for d in sorted(glob.glob(os.path.join(root, "*_s*"))):
+        m = re.match(r"^(.*)_s(\d+)$", os.path.basename(d))
+        if not m:
+            continue
+        for path in glob.glob(os.path.join(d, "test_*.json")):
+            with open(path) as f:
+                runs[(m.group(1), int(m.group(2)))] = json.load(f)["dice"]
+    if not runs:
+        return
+    # grid-searched comparators: the 79/1 matrix cells per seed
+    cells, _ = scan_cells()
+    print("\n## fixed-hyper 79/1 diagnostic (lr=1e-3, b4, 128ep vs "
+          "grid-searched)")
+    print("| method | seed | fixed-hyper Dice | grid-searched Dice | Δ |")
+    print("|---|---|---|---|---|")
+    methods = sorted({t for t, _ in runs})
+    for t in methods:
+        for s in sorted(s for tt, s in runs if tt == t):
+            fixed = runs[(t, s)]
+            grid = cells.get((t, 0.01), {}).get(s)
+            gs = f"{grid:.4f}" if grid is not None else "—"
+            d = f"{fixed - grid:+.4f}" if grid is not None else "—"
+            print(f"| {t} | {s} | {fixed:.4f} | {gs} | {d} |")
+
+    def spread(vals):
+        return (max(vals) - min(vals)) if len(vals) > 1 else 0.0
+
+    for t in methods:
+        fixed = [runs[(t, s)] for tt, s in sorted(runs) if tt == t]
+        grid = [v for s, v in sorted(cells.get((t, 0.01), {}).items())
+                if (t, s) in runs]
+        if len(fixed) > 1 and len(grid) == len(fixed):
+            print(f"{t}: cross-seed spread fixed {spread(fixed):.4f} vs "
+                  f"grid {spread(grid):.4f}")
+
+
 def shear3_equivalence():
     """Print the shear3 rotation transfer-equivalence comparison (session-6
     item C): a MoCo pretrain whose view rotation uses the gather-free
@@ -294,6 +355,7 @@ def main():
         seed_column("artifacts/r2/seed1_ft30", "artifacts/r2/ft30",
                     label="50/30-analog")
         shear3_equivalence()
+        fixed_hyper_diagnostic()
 
 
 if __name__ == "__main__":
