@@ -109,6 +109,7 @@ def build_task(cfg: Config, dtype):
             base_momentum=t.ema_momentum,
             view_size=t.view_size,
             augment=t.augment,
+            crop_impl=t.crop_impl,
         )
         init = lambda key, x: model.init(
             key,

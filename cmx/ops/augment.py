@@ -1067,3 +1067,44 @@ def cmunet_two_views(
     v2 = shift_pixel_crop(ks[3], base, out_size, max_pixel=shift)
     v2 = gaussian_noise_max10(ks[4], v2, p=0.5)
     return v1, v2
+
+
+def cmunet_two_views_batch(
+    key: jax.Array, batch: jnp.ndarray, out_size: int = 224,
+    shift: int = 31, crop_impl: str | None = None,
+):
+    """Batch-hoisted `vmap_aug(cmunet_two_views, ...)` with a crop_impl
+    knob — the moco_fast machinery pointed at the CM-UNet view pipeline
+    (round-3 VERDICT item 6; reference pipeline
+    cmae/datasets/cmunet_dataset.py:39-55).
+
+    crop_impl None/"scale_translate" is the exact vmapped chain.
+    "bank"/"bank_fused" replace the shared RandomResizedCrop's per-sample
+    weight construction with the precomputed integer-window weight bank
+    applied as two batched matmuls (bank_crop_batch; window-quantization
+    deviation only — the contract bank carries everywhere else); the
+    hflip is folded in as a column reversal and the remaining stages
+    (ShiftPixel crops, GaussNoise) are the same per-sample ops. Key tree
+    is identical to the vmapped path (`split(key, B)` then
+    `split(k_i, 5)`), so the bank path differs from per-sample
+    impl="bank" only in execution order (regression-tested exact)."""
+    if crop_impl in (None, "scale_translate", "einsum", "einsum_bf16",
+                     "pallas"):
+        return vmap_aug(cmunet_two_views, key, batch, out_size, shift)
+    b, h, w = batch.shape
+    keys = jax.random.split(key, b)
+    ks = jax.vmap(lambda k: jax.random.split(k, 5))(keys)  # (B, 5) keys
+    box = jax.vmap(lambda k: jnp.stack(_crop_window_box(
+        k, h, w, (0.2, 1.0), (3 / 4, 4 / 3))))(ks[:, 0])
+    base = bank_crop_batch(
+        batch, (box[:, 0], box[:, 1], box[:, 2], box[:, 3]), 256,
+        method="cubic", scale=(0.2, 1.0), ratio=(3 / 4, 4 / 3))
+    do_flip = jax.vmap(jax.random.uniform)(ks[:, 1]) < 0.5
+    base = jnp.where(do_flip[:, None, None], base[:, :, ::-1], base)
+    v1 = jax.vmap(lambda k, im: shift_pixel_crop(
+        k, im, out_size, 0))(ks[:, 2], base)
+    v2 = jax.vmap(lambda k, im: shift_pixel_crop(
+        k, im, out_size, shift))(ks[:, 3], base)
+    v2 = jax.vmap(lambda k, im: gaussian_noise_max10(
+        k, im, p=0.5))(ks[:, 4], v2)
+    return v1, v2

@@ -37,7 +37,7 @@ from flax import linen as nn
 
 from cmx.models.necks import NonLinearNeck
 from cmx.models.unet import UNetDecoder, UNetEncoder
-from cmx.ops.augment import cmunet_two_views, vmap_aug
+from cmx.ops.augment import cmunet_two_views_batch
 from cmx.ops.masking import random_patch_mask
 from cmx.train.state import TrainState, ema_update
 from cmx.train.trainer import Task, TaskAux
@@ -106,6 +106,7 @@ def make_cmunet_task(
     base_momentum: float = 0.996,
     view_size: int = 224,
     augment: bool = True,
+    crop_impl: Optional[str] = None,
 ) -> Tuple[Task, CMUNetOnline]:
     model = model or CMUNetOnline()
 
@@ -113,7 +114,8 @@ def make_cmunet_task(
         imgs = batch  # (B, 256, 256) cached
         kv, km = jax.random.split(rng)
         if augment:
-            v1, v2 = vmap_aug(cmunet_two_views, kv, imgs, view_size, 31)
+            v1, v2 = cmunet_two_views_batch(kv, imgs, view_size, 31,
+                                            crop_impl=crop_impl)
         else:
             v1 = v2 = imgs[:, :view_size, :view_size]
         b, h, _ = v1.shape

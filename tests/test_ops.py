@@ -139,6 +139,39 @@ def test_pipelines_jit_and_shapes(rng):
     assert v1.shape == (4, 32, 32) and v2.shape == (4, 32, 32)
 
 
+def test_cmunet_two_views_batch(rng):
+    """cmunet_two_views_batch: the default path is bit-identical to the
+    vmapped per-sample chain; the bank path shares the key tree (same
+    ShiftPixel/noise draws) and equals a per-sample chain whose shared
+    RandomResizedCrop uses impl='bank' (the quantization contract is the
+    crop's, not the batching's)."""
+    imgs = jnp.asarray(rng.normal(size=(4, 256, 256)).astype(np.float32))
+    ref1, ref2 = jax.jit(lambda k, b: augment.vmap_aug(
+        augment.cmunet_two_views, k, b, 32, 8))(KEY, imgs)
+    got1, got2 = jax.jit(lambda k, b: augment.cmunet_two_views_batch(
+        k, b, 32, 8, crop_impl="scale_translate"))(KEY, imgs)
+    assert jnp.array_equal(ref1, got1) and jnp.array_equal(ref2, got2)
+
+    def per_sample_bank(key, img, out_size, shift):
+        ks = jax.random.split(key, 5)
+        base = augment.random_resized_crop(
+            ks[0], img, 256, scale=(0.2, 1.0), method="cubic", impl="bank")
+        base = augment.random_hflip(ks[1], base)
+        v1 = augment.shift_pixel_crop(ks[2], base, out_size, max_pixel=0)
+        v2 = augment.shift_pixel_crop(ks[3], base, out_size, max_pixel=shift)
+        v2 = augment.gaussian_noise_max10(ks[4], v2, p=0.5)
+        return v1, v2
+
+    want1, want2 = jax.jit(lambda k, b: augment.vmap_aug(
+        per_sample_bank, k, b, 32, 8))(KEY, imgs)
+    bank1, bank2 = jax.jit(lambda k, b: augment.cmunet_two_views_batch(
+        k, b, 32, 8, crop_impl="bank"))(KEY, imgs)
+    np.testing.assert_allclose(np.asarray(bank1), np.asarray(want1),
+                               atol=2e-5, rtol=0)
+    np.testing.assert_allclose(np.asarray(bank2), np.asarray(want2),
+                               atol=2e-5, rtol=0)
+
+
 def test_moco_view_aug_batch_bitwise(rng):
     """moco_view_aug_batch (whole-batch single-take rotation) is
     bit-identical to the vmapped per-image pipeline for the production
