@@ -179,3 +179,25 @@ def test_cmunet_task():
     np.testing.assert_array_equal(
         np.asarray(extra["reduce_kernel"]), np.asarray(state.extra["reduce_kernel"])
     )
+
+
+def test_cmunet_task_bank_views():
+    """The cmunet task trains with the bank view tail (task.crop_impl=
+    'bank' through cmunet_two_views_batch) — finite losses, EMA advances.
+    The view-level bank==per-sample equivalence is pinned in test_ops."""
+    from cmx.ssl.cmunet import CMUNetOnline, init_cmunet_extra, make_cmunet_task
+
+    imgs = _imgs(b=8, size=64)
+    model = CMUNetOnline(dtype=jnp.float32)
+    task, _ = make_cmunet_task(model, view_size=32, patch_size=16,
+                               augment=True, crop_impl="bank")
+    v = model.init(
+        jax.random.key(0), imgs[:1, :32, :32], jnp.ones((1, 32, 32))
+    )
+    extra = init_cmunet_extra(jax.random.key(1), v["params"], v["batch_stats"])
+
+    def init():
+        return v["params"], v["batch_stats"]
+
+    state, losses = _run_steps(task, init, imgs, extra=extra)
+    assert all(np.isfinite(losses))
