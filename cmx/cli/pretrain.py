@@ -359,6 +359,7 @@ def main(argv: Optional[list] = None) -> None:
 
     best_val = float("inf")
     bad_epochs = 0
+    last_best_save_ep = -(10**9)
     it = iter(sampler)
     start_ep = int(state.step) // steps_per_epoch
     from cmx.utils.profiling import trace
@@ -432,8 +433,18 @@ def main(argv: Optional[list] = None) -> None:
             if vloss < best_val:
                 best_val = vloss
                 bad_epochs = 0
-                mgr.save(int(state.step), state, config=to_dict(cfg),
-                         metrics={"val_loss": vloss}, force=True)
+                # Throttle best-val checkpoint saves (round-4 finding): a
+                # full orbax save costs ~45 s on the single-core host, and
+                # regimes whose val improves near-monotonically (MAE) were
+                # spending >90% of wall time saving. The saved ckpt only
+                # feeds --resume (the exported encoder is the FINAL state,
+                # below), so coarsening to one save per
+                # train.best_save_every epochs changes no training math —
+                # a crash just replays a few more epochs.
+                if ep - last_best_save_ep >= cfg.train.best_save_every:
+                    mgr.save(int(state.step), state, config=to_dict(cfg),
+                             metrics={"val_loss": vloss}, force=True)
+                    last_best_save_ep = ep
             else:
                 bad_epochs += 1
             print(f"  val_loss {vloss:.4f} (best {best_val:.4f}, "

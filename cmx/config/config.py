@@ -88,6 +88,11 @@ class TrainConfig:
     # pretrain pool for the best-val checkpoint gate.
     patience: int = 0
     val_fraction: float = 0.1
+    # Min epochs between best-val checkpoint saves (resume granularity
+    # only — the exported encoder is always the final state). A full orbax
+    # save is ~45 s on the single-core host; 1 restores the save-every-
+    # improvement behavior (Genesis_Chest_CT.py:160-176 keeps best-only).
+    best_save_every: int = 10
     tensorboard: bool = False
     profile_dir: str = ""  # capture a jax.profiler trace of one epoch
     tee: bool = False  # mirror stdout/stderr into the run dir (misc.py:72-86)
