@@ -287,17 +287,28 @@ def fixed_hyper_diagnostic(root="artifacts/r4/fixed_hyper"):
                 runs[(m.group(1), int(m.group(2)))] = json.load(f)["dice"]
     if not runs:
         return
-    # grid-searched comparators: the 79/1 matrix cells per seed
+    # grid-searched comparators: the 79/1 matrix cells per seed. The fixed
+    # cell must be compared against the grid fine-tune of the SAME encoder:
+    # the genesis s0 fixed cell used the r3 patience-0 re-pretrain
+    # (runs/r3/genesis_full_s0), whose grid cell is genesis_full_s0 — the
+    # r2 matrix cell is a different (early-stopped) encoder and would fold
+    # encoder provenance into the grid-vs-fixed delta.
     cells, _ = scan_cells()
+    overrides = {("genesis", 0):
+                 "artifacts/r3/genesis_full/test_genesis_full_s0.json"}
     print("\n## fixed-hyper 79/1 diagnostic (lr=1e-3, b4, 128ep vs "
-          "grid-searched)")
+          "grid-searched, same-encoder comparators)")
     print("| method | seed | fixed-hyper Dice | grid-searched Dice | Δ |")
     print("|---|---|---|---|---|")
     methods = sorted({t for t, _ in runs})
     for t in methods:
         for s in sorted(s for tt, s in runs if tt == t):
             fixed = runs[(t, s)]
-            grid = cells.get((t, 0.01), {}).get(s)
+            if (t, s) in overrides and os.path.exists(overrides[(t, s)]):
+                with open(overrides[(t, s)]) as f:
+                    grid = json.load(f)["dice"]
+            else:
+                grid = cells.get((t, 0.01), {}).get(s)
             gs = f"{grid:.4f}" if grid is not None else "—"
             d = f"{fixed - grid:+.4f}" if grid is not None else "—"
             print(f"| {t} | {s} | {fixed:.4f} | {gs} | {d} |")
