@@ -232,20 +232,23 @@ def matrix(root="runs/transfer_r2"):
                           + " > ".join(order))
 
 
-def seed_column(seed1_dir="artifacts/r2/seed1_ft01",
-                seed0_dir="artifacts/r2/ft01", label="79/1-analog"):
+def seed_column(seed1_dir="seed1_ft01",
+                seed0_dir="ft01", label="79/1-analog"):
     """Compare the seed-1 replication of the 79/1-analog column (fresh
     corpus seed, re-pretrained encoders; extras E2) against the seed-0
     column: per-method Dice side by side, rank agreement, and whether the
     two headline claims (CM-UNet strongest, scratch last, SSL > scratch)
-    hold under the replication."""
+    hold under the replication. Cells layer artifacts/r2 -> r3 -> r4 like
+    scan_cells, so shipped-defaults recaptures (e.g. the r4 moco seed-0
+    cell) supersede the original capture here too."""
     def col(d):
         out = {}
-        for path in glob.glob(os.path.join(d, "test_*.json")):
-            tag = os.path.basename(path)[5:-5]
-            tag = "scratch" if tag == "None" else tag
-            with open(path) as f:
-                out[tag] = json.load(f)["dice"]
+        for root in ("artifacts/r2", "artifacts/r3", "artifacts/r4"):
+            for path in glob.glob(os.path.join(root, d, "test_*.json")):
+                tag = os.path.basename(path)[5:-5]
+                tag = "scratch" if tag == "None" else tag
+                with open(path) as f:
+                    out[tag] = json.load(f)["dice"]
         return out
     c0, c1 = col(seed0_dir), col(seed1_dir)
     tags = [t for t in ("scratch", "cmunet", "spark", "genesis", "moco",
@@ -363,8 +366,7 @@ def main():
     if not sys.argv[1:] or sys.argv[1:][0].rstrip("/").endswith("transfer_r2"):
         matrix(args[0] if sys.argv[1:] else "runs/transfer_r2")
         seed_column()
-        seed_column("artifacts/r2/seed1_ft30", "artifacts/r2/ft30",
-                    label="50/30-analog")
+        seed_column("seed1_ft30", "ft30", label="50/30-analog")
         shear3_equivalence()
         fixed_hyper_diagnostic()
 
