@@ -109,7 +109,8 @@ def scan_cells(root="runs/transfer_r2"):
     # later roots supersede earlier ones: artifacts/r3 recaptures (shipped
     # defaults) replace the r2 capture of the same cell; a live runs/
     # column replaces its harvest copy.
-    for scan_root in ("artifacts/r2", "artifacts/r3", "artifacts/r4", root):
+    for scan_root in ("artifacts/r2", "artifacts/r3", "artifacts/r4",
+                      "artifacts/r5", root):
         for d in sorted(glob.glob(os.path.join(scan_root, "*ft*"))):
             m = pat.match(os.path.basename(d))
             if not os.path.isdir(d) or not m or m.group(2) not in FT_RATIO:
@@ -141,6 +142,13 @@ def matrix(root="runs/transfer_r2"):
     print("(cmx on the hard-synthetic corpus analog; reference on FAME2 — "
           "compare patterns, not absolutes; multi-seed cells show "
           "mean±half-range [n seeds])")
+    print("encoder-pool provenance: SSL cells in the wide/middle columns "
+          "(75/5..50/30) reuse the ratio=0.01 encoders — pretrained on the "
+          "79% pool, a SUPERSET of those columns' fine-tune sets (the "
+          "reference's CM-UNet quirk, cmunet_dataset.py:31-32; its other "
+          "regimes pretrain on the ratio-dependent DISJOINT pool). The "
+          "moco_pool30 row is the honest disjoint-ratio-0.3-pool protocol "
+          "at 50/30 for direct comparison (round-5 item 1).")
     hdr = " | ".join(f"{SPLIT_NAME[r]} (r={r:g})" for r in ratios)
     print(f"| method | {hdr} |")
     print("|---|" + "---|" * len(ratios))
@@ -238,12 +246,14 @@ def seed_column(seed1_dir="seed1_ft01",
     corpus seed, re-pretrained encoders; extras E2) against the seed-0
     column: per-method Dice side by side, rank agreement, and whether the
     two headline claims (CM-UNet strongest, scratch last, SSL > scratch)
-    hold under the replication. Cells layer artifacts/r2 -> r3 -> r4 like
-    scan_cells, so shipped-defaults recaptures (e.g. the r4 moco seed-0
-    cell) supersede the original capture here too."""
+    hold under the replication. Cells layer artifacts/r2 -> r3 -> r4 -> r5
+    -> the live runs/transfer_r2 root, exactly like scan_cells, so the
+    seed-replication table and the matrix always show the same value for
+    the same cell (round-4 advisor)."""
     def col(d):
         out = {}
-        for root in ("artifacts/r2", "artifacts/r3", "artifacts/r4"):
+        for root in ("artifacts/r2", "artifacts/r3", "artifacts/r4",
+                      "artifacts/r5", "runs/transfer_r2"):
             for path in glob.glob(os.path.join(root, d, "test_*.json")):
                 tag = os.path.basename(path)[5:-5]
                 tag = "scratch" if tag == "None" else tag
@@ -299,6 +309,17 @@ def fixed_hyper_diagnostic(root="artifacts/r4/fixed_hyper"):
     cells, _ = scan_cells()
     overrides = {("genesis", 0):
                  "artifacts/r3/genesis_full/test_genesis_full_s0.json"}
+
+    def grid_value(t, s):
+        """Grid-searched comparator for (method, seed) — honors the
+        same-encoder overrides in BOTH the per-cell table and the
+        cross-seed spread (round-4 advisor: the spread loop previously
+        read raw scan_cells, mixing encoder provenance)."""
+        if (t, s) in overrides and os.path.exists(overrides[(t, s)]):
+            with open(overrides[(t, s)]) as f:
+                return json.load(f)["dice"]
+        return cells.get((t, 0.01), {}).get(s)
+
     print("\n## fixed-hyper 79/1 diagnostic (lr=1e-3, b4, 128ep vs "
           "grid-searched, same-encoder comparators)")
     print("| method | seed | fixed-hyper Dice | grid-searched Dice | Δ |")
@@ -307,11 +328,7 @@ def fixed_hyper_diagnostic(root="artifacts/r4/fixed_hyper"):
     for t in methods:
         for s in sorted(s for tt, s in runs if tt == t):
             fixed = runs[(t, s)]
-            if (t, s) in overrides and os.path.exists(overrides[(t, s)]):
-                with open(overrides[(t, s)]) as f:
-                    grid = json.load(f)["dice"]
-            else:
-                grid = cells.get((t, 0.01), {}).get(s)
+            grid = grid_value(t, s)
             gs = f"{grid:.4f}" if grid is not None else "—"
             d = f"{fixed - grid:+.4f}" if grid is not None else "—"
             print(f"| {t} | {s} | {fixed:.4f} | {gs} | {d} |")
@@ -320,9 +337,9 @@ def fixed_hyper_diagnostic(root="artifacts/r4/fixed_hyper"):
         return (max(vals) - min(vals)) if len(vals) > 1 else 0.0
 
     for t in methods:
-        fixed = [runs[(t, s)] for tt, s in sorted(runs) if tt == t]
-        grid = [v for s, v in sorted(cells.get((t, 0.01), {}).items())
-                if (t, s) in runs]
+        seeds = [s for tt, s in sorted(runs) if tt == t]
+        fixed = [runs[(t, s)] for s in seeds]
+        grid = [g for g in (grid_value(t, s) for s in seeds) if g is not None]
         if len(fixed) > 1 and len(grid) == len(fixed):
             print(f"{t}: cross-seed spread fixed {spread(fixed):.4f} vs "
                   f"grid {spread(grid):.4f}")
