@@ -132,6 +132,42 @@ def export_model(state: TrainState, path: str) -> None:
     )
 
 
+def write_stamp(encoder_path: str, config: dict, **info) -> str:
+    """Reset-proof provenance stamp for an exported encoder.
+
+    The analog of the reference's dual checkpoint-per-epoch habit
+    (Spark/main.py:142-143) adapted to this container's failure mode:
+    `runs/` is wiped by container resets while the git-tracked `artifacts/`
+    tree survives, so a pretrain that only leaves its encoder under `runs/`
+    is one reset away from being unreproducible (round-4 incident:
+    fh-genesis-s1/s2 became permanently unrunnable). The stamp records
+    everything needed to (a) re-key experiment queues on a file that
+    survives resets and (b) verify/rebuild the encoder: the full config,
+    the encoder's content hash, and the final training metrics. Written to
+    `<encoder_path>.stamp.json`; queue posts copy it into `artifacts/`.
+
+    Returns the stamp path.
+    """
+    import hashlib
+    import json
+    import time as _time
+
+    with open(encoder_path, "rb") as f:
+        digest = hashlib.sha256(f.read()).hexdigest()
+    stamp = {
+        "encoder_path": os.path.abspath(encoder_path),
+        "encoder_sha256": digest,
+        "encoder_bytes": os.path.getsize(encoder_path),
+        "config": config,
+        "created": _time.strftime("%F %T"),
+        **info,
+    }
+    path = encoder_path + ".stamp.json"
+    with open(path, "w") as f:
+        json.dump(stamp, f, indent=2, sort_keys=True)
+    return path
+
+
 def load_model_npz(path: str, params: Any, batch_stats: Any):
     """Load an `export_model` .npz into freshly-initialized trees."""
     new_params = load_encoder(path, {"all": params}, {"all": batch_stats},

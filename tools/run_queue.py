@@ -20,7 +20,23 @@ Manifest: a JSON list of job objects, executed in order:
     "tpu": true,                               # probe the TPU before each try
     "post": "cp runs/.../test_*.json artifacts/..."  # optional harvest step,
                                                # runs after cmd succeeds
+    "products": ["runs/seed1/ckpt/.../encoder.npz"],  # reset-mortal outputs
+                                               # (checked after cmd, and
+                                               # rebuildable on demand)
+    "needs": ["runs/seed1/ckpt/.../encoder.npz"]  # inputs that must exist
+                                               # before cmd runs; a missing
+                                               # need re-runs its producer
   }
+
+Stamp-keyed rebuild (round-4 VERDICT weak #3): pretrain jobs key their
+`artifacts` on the git-tracked provenance stamp (harvested into artifacts/
+by their post step) and declare the encoder under runs/ as a `products`
+entry. A container reset wipes runs/ but not the stamp, so the pretrain
+job stays satisfied and is skipped — UNTIL a later job `needs` the wiped
+encoder, at which point the queue re-runs exactly the producer jobs whose
+products are missing (recursively, with the producer's own needs checked
+first). Deleting runs/ and relaunching therefore rebuilds exactly the
+missing encoders (tests/test_run_queue.py::test_needs_rebuilds_missing_producer).
 
 The TPU probe runs in a subprocess (a half-dead axon tunnel hangs backend
 init inside a C call — not interruptible in-process; see bench._wait_backend)
@@ -83,6 +99,41 @@ def satisfied(job) -> bool:
     return bool(arts) and all(os.path.exists(a) for a in arts)
 
 
+def missing_products(job):
+    return [p for p in job.get("products", []) if not os.path.exists(p)]
+
+
+def ensure_needs(job, producers, tpu_tries, chain=()):
+    """Make every path in job['needs'] exist, re-running producer jobs for
+    the missing ones (the stamp-keyed rebuild path: a satisfied pretrain
+    whose runs/-resident encoder was wiped by a container reset re-runs
+    here when a dependent fine-tune needs it)."""
+    for n in job.get("needs", []):
+        if os.path.exists(n):
+            continue
+        prod = producers.get(n)
+        if prod is None:
+            print(f"[queue] {job['name']}: need {n!r} is missing and no job "
+                  f"in the manifest products it", flush=True)
+            return False
+        if prod["name"] in chain:
+            print(f"[queue] dependency cycle: {' -> '.join(chain)} -> "
+                  f"{prod['name']}", flush=True)
+            return False
+        print(f"[queue] {job['name']}: need {n!r} missing -> rebuilding via "
+              f"{prod['name']}", flush=True)
+        if not ensure_needs(prod, producers, tpu_tries,
+                            chain + (job["name"],)):
+            return False
+        if not run_job(prod, tpu_tries):
+            return False
+        if not os.path.exists(n):
+            print(f"[queue] {prod['name']} ran but {n!r} still missing",
+                  flush=True)
+            return False
+    return True
+
+
 def run_job(job, tpu_tries: int) -> bool:
     name = job["name"]
     log = job.get("log")
@@ -133,7 +184,7 @@ def run_job(job, tpu_tries: int) -> bool:
                     print(f"[queue] {name}: post step failed", flush=True)
                     return False
             missing = [a for a in job.get("artifacts", [])
-                       if not os.path.exists(a)]
+                       if not os.path.exists(a)] + missing_products(job)
             if missing:
                 print(f"[queue] {name}: cmd succeeded but artifacts missing: "
                       f"{missing}", flush=True)
@@ -179,16 +230,30 @@ def main():
         assert j.get("artifacts"), (
             f"job {j['name']!r} has no artifacts — it would re-run on every "
             "queue pass; give it a stamp file (post: touch ...)")
+    all_jobs = jobs
     if args.only:
         keep = set(args.only.split(","))
         unknown = keep - set(names)
         assert not unknown, f"unknown job names: {sorted(unknown)}"
         jobs = [j for j in jobs if j["name"] in keep]
 
+    # products -> producing job, over the FULL manifest (not the --only
+    # subset) so a filtered run can still rebuild a wiped dependency.
+    producers = {}
+    for j in all_jobs:
+        for p in j.get("products", []):
+            assert p not in producers, (
+                f"product {p!r} claimed by both {producers[p]['name']!r} "
+                f"and {j['name']!r}")
+            producers[p] = j
+
     width = max(len(j["name"]) for j in jobs) if jobs else 4
     print(f"[queue] manifest {args.manifest}: {len(jobs)} jobs")
     for j in jobs:
         state = "satisfied" if satisfied(j) else "pending"
+        lost = missing_products(j) if state == "satisfied" else []
+        if lost:
+            state += f" (products missing: {len(lost)})"
         print(f"  {j['name']:<{width}}  {state}")
     if args.status:
         return 0
@@ -196,6 +261,12 @@ def main():
     failed = []
     for j in jobs:
         if satisfied(j):
+            continue
+        if not ensure_needs(j, producers, args.tpu_tries):
+            failed.append(j["name"])
+            if not args.keep_going:
+                print(f"[queue] stopping at failed job {j['name']}", flush=True)
+                return 1
             continue
         if not run_job(j, args.tpu_tries):
             failed.append(j["name"])
