@@ -43,9 +43,14 @@ def mae_tuned_preset(cfg: Config | None = None) -> Config:
     instead of 0.5. On the hard-synthetic 79/1-analog the reference recipe
     transfers negatively (test Dice 0.4297 vs scratch 0.4752) because at
     ratio 0.5 the vessels are locally inpaintable; 0.75 forces longer-range
-    structure and transfers best of every measured variant (0.5192).
-    Select with `--task mae_tuned --preset`; the plain `mae` preset stays
-    reference-faithful (Transformation_based/utils.py:205, ratio 0.5)."""
+    structure and transferred best of every measured variant on seed 0
+    (0.5192). The round-5 n=3 replication narrows the claim: across corpus
+    seeds the means are mae_tuned 0.5206 vs default mae 0.5149 vs scratch
+    0.5097 (79/1), but the per-seed wins are seed-0-specific (+8.8 pts vs
+    default; seeds 1/2: -6.5/-0.6) — within seed noise overall
+    (RESULTS round 5). Select with `--task mae_tuned --preset`; the plain
+    `mae` preset stays reference-faithful
+    (Transformation_based/utils.py:205, ratio 0.5)."""
     cfg = mae_preset(cfg)
     cfg.task.mask_ratio = 0.75
     return cfg
