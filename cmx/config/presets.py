@@ -66,8 +66,12 @@ def genesis_tuned_preset(cfg: Config | None = None) -> Config:
     vs scratch 0.4546 at the 79/1-analog). Zeroing the nonlinear remap
     (task.genesis_nonlinear_rate=0, every other knob reference-faithful)
     flips the transfer positive on both seeds (2-seed mean 0.4937,
-    +3.9 pts over scratch). Select with `--task genesis_tuned --preset`;
-    the plain `genesis` preset stays reference-faithful."""
+    +3.9 pts over scratch). Round-5 n=3 scope: the fix is a low-label
+    effect — at 79/1 it beats the default on every corpus seed (n=3 mean
+    +3.6 pts), at 50/30 the two recipes tie (0.7449 vs 0.7455, both
+    ~+0.6 over scratch; RESULTS round 5). Select with
+    `--task genesis_tuned --preset`; the plain `genesis` preset stays
+    reference-faithful."""
     cfg = genesis_preset(cfg)
     cfg.task.genesis_nonlinear_rate = 0.0
     return cfg
