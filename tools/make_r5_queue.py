@@ -122,13 +122,15 @@ for s in (0, 1):
 
 # ---- Item 5: seed-2 70/10 column (rebuild the five wiped encoders) ----
 S2 = "runs/r5/seed2/ckpt"
+# moco first: it carries the headline claim, so if the round clock cuts
+# the column short the most load-bearing cell is already in.
 PROTO = {
+    "moco": "data.ratio=0.01 train.epochs=400 task.num_negatives=4096",
     "spark": "data.ratio=0.01 train.epochs=800 task.pallas_loss=False",
     "genesis": "data.ratio=0.01 train.epochs=400",
     "mae": ("data.ratio=0.01 train.epochs=400 optim.name=sgd optim.lr=1e-2 "
             "optim.weight_decay=0.0 optim.clip_norm=None"),
     "cmunet": "data.ratio=0.01 train.epochs=400",
-    "moco": "data.ratio=0.01 train.epochs=400 task.num_negatives=4096",
 }
 jobs.append(ft_job("s2-scratch-ft10", 2, 0.1, None, "None", 16, "seed2_ft10"))
 for t, extra in PROTO.items():
